@@ -1,0 +1,116 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Faithful Scala port of CPython `difflib.SequenceMatcher(None, a, b).ratio()`
+  * — the Ratcliff–Obershelp similarity the reference uses for OCR pass
+  * confidence (`SequenceMatcher(None, texts[i], texts[j]).ratio()`,
+  * reference `main.py:182`).
+  *
+  * Ported behaviors (from the published CPython difflib source, which is the
+  * authoritative public spec of the algorithm):
+  *  - `b2j`: map from char → ascending positions in `b`.
+  *  - **autojunk** (default on): if `len(b) >= 200`, chars occurring more
+  *    than `1 + len(b) // 100` times are "popular" — removed from `b2j` (so
+  *    they cannot *seed* a match) but NOT junk (so the non-junk extension
+  *    loops may still absorb them). With `isjunk=None` the junk set is empty
+  *    and the junk-extension loops are no-ops.
+  *  - `find_longest_match`: dynamic-programming sweep keeping, among maximal
+  *    blocks, the one starting earliest in `a` then earliest in `b`
+  *    (strict `>` update), then the two-sided non-junk extension.
+  *  - `get_matching_blocks`: LIFO-free queue recursion, matches accumulated
+  *    and summed; `ratio = 2*M / (len(a)+len(b))`, and 1.0 when both empty
+  *    (Python returns 1.0 for `2*0/0`? no — `calculate` guards: T==0 → 1.0).
+  *
+  * Chars are UTF-16 units, matching Python code points for BMP-only OCR text.
+  */
+object DiffLib {
+
+  final case class Match(a: Int, b: Int, size: Int)
+
+  final class SequenceMatcher(a: String, b: String) {
+    // __chain_b: b2j minus popular elements (autojunk), bjunk empty (isjunk=None)
+    private val b2j: Map[Char, Array[Int]] = {
+      val m = mutable.LinkedHashMap.empty[Char, mutable.ArrayBuffer[Int]]
+      var i = 0
+      while (i < b.length) {
+        m.getOrElseUpdate(b.charAt(i), mutable.ArrayBuffer.empty[Int]) += i
+        i += 1
+      }
+      if (b.length >= 200) {                       // autojunk threshold
+        val ntest = b.length / 100 + 1             // popular iff count > ntest
+        m.filterInPlace((_, idxs) => idxs.length <= ntest)
+      }
+      m.iterator.map { case (c, idxs) => c -> idxs.toArray }.toMap
+    }
+
+    def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): Match = {
+      var besti = alo
+      var bestj = blo
+      var bestsize = 0
+      var j2len = mutable.Map.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val newj2len = mutable.Map.empty[Int, Int]
+        b2j.get(a.charAt(i)) match {
+          case Some(idxs) =>
+            var k = 0
+            var break = false
+            while (k < idxs.length && !break) {
+              val j = idxs(k)
+              if (j >= bhi) break = true
+              else if (j >= blo) {
+                val len = j2len.getOrElse(j - 1, 0) + 1
+                newj2len(j) = len
+                if (len > bestsize) {              // strict >: earliest (i, j) kept
+                  besti = i - len + 1
+                  bestj = j - len + 1
+                  bestsize = len
+                }
+              }
+              k += 1
+            }
+          case None =>
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // Non-junk extension (bjunk is empty with isjunk=None, so this is the
+      // only live extension; it may absorb autojunk-popular chars).
+      while (besti > alo && bestj > blo && a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+             a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      Match(besti, bestj, bestsize)
+    }
+
+    /** Sum of matching-block sizes (the M in ratio). Iterative queue exactly
+      * as difflib's `get_matching_blocks`. */
+    def totalMatched: Int = {
+      var matched = 0
+      val queue = mutable.Stack((0, a.length, 0, b.length))
+      while (queue.nonEmpty) {
+        val (alo, ahi, blo, bhi) = queue.pop()
+        val m = findLongestMatch(alo, ahi, blo, bhi)
+        if (m.size > 0) {
+          matched += m.size
+          if (alo < m.a && blo < m.b) queue.push((alo, m.a, blo, m.b))
+          if (m.a + m.size < ahi && m.b + m.size < bhi)
+            queue.push((m.a + m.size, ahi, m.b + m.size, bhi))
+        }
+      }
+      matched
+    }
+
+    def ratio(): Double = {
+      val t = a.length + b.length
+      if (t == 0) 1.0                              // difflib._calculate_ratio
+      else 2.0 * totalMatched / t
+    }
+  }
+
+  def ratio(a: String, b: String): Double = new SequenceMatcher(a, b).ratio()
+}

@@ -1,0 +1,41 @@
+package graft.core
+
+/** Deterministic 64-bit string hash (FNV-1a over UTF-8 bytes, plus an
+  * avalanche finalizer from the public MurmurHash3 finalizer constants).
+  * Drives ALL fixture/media synthesis (FIXTURES.md: "hash-driven, no RNG
+  * state, no wall clock") so any scale regenerates bit-identically and both
+  * bench parallelism levels read identical data.
+  */
+object Hash64 {
+  private val FnvOffset = 0xcbf29ce484222325L
+  private val FnvPrime  = 0x100000001b3L
+
+  def apply(s: String): Long = {
+    var h = FnvOffset
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    fmix64(h)
+  }
+
+  /** MurmurHash3 fmix64 finalizer (public domain constants). */
+  def fmix64(x: Long): Long = {
+    var h = x
+    h ^= (h >>> 33)
+    h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33)
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
+  /** Non-negative modulus pick in [0, n). */
+  def pick(s: String, n: Int): Int = {
+    val h = apply(s)
+    (((h % n) + n) % n).toInt
+  }
+}
