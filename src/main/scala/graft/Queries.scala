@@ -1,29 +1,452 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Driver-contract query registry. Grows one entry per operator; split from
-  * SparkEntry so the contract file stays stable. */
+/** Driver-contract query registry (SURVEY.md §5.4): every SQL-expressible
+  * operator exposed as a named DataFrame query over the driver's parquet
+  * tables, with an equivalent DuckDB oracle built from the SAME constants.
+  *
+  * Parity rules applied throughout (so value-hash comparison is exact):
+  *  - every aggregate that would be an order-dependent double sum is made
+  *    integer-exact (cents via per-row ROUND, counts as BIGINT);
+  *  - Spark `size`/`length` ints are cast to long (DuckDB len() is BIGINT);
+  *  - every query ends in a total ORDER BY;
+  *  - identical aliases on both sides (driver hashes columns sorted by name).
+  */
 object Queries {
 
-  private def t(dir: String, name: String) = s"$dir/$name.parquet"
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  private def li(s: SparkSession, dir: String) = s.read.parquet(p(dir, "lineitem"))
+  private def ord(s: SparkSession, dir: String) = s.read.parquet(p(dir, "orders"))
+  private def cust(s: SparkSession, dir: String) = s.read.parquet(p(dir, "customer"))
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(p(dir, "documents"))
+  private def emb(s: SparkSession, dir: String) = s.read.parquet(p(dir, "embeddings"))
+
+  /** cents-exact money aggregate: per-row round to integer cents, then sum. */
+  private def cents(c: Column): Column = sum(round(c * 100)).cast("long")
+
+  /** Dup-augmented documents corpus for the dedup operators: each text
+    * appears exactly twice (ids i and i+1000000). */
+  private def augmented(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    d.unionAll(d.select(col("doc_id") + lit(1000000L), col("text"), col("source")))
+      .toDF("doc_id", "text", "source")
+  }
+  private val augmentedSql =
+    """aug AS (SELECT doc_id, text, source FROM documents
+      |         UNION ALL SELECT doc_id + 1000000, text, source FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- relational core -------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      li(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          cents(col("l_extendedprice")).as("sum_base_cents"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_revenue_by_nation" -> ((s, dir) => {
+      // multi-join star: dims broadcast (verified in PlanSpec), fact shuffles
+      // once on the join key.
+      val n = s.read.parquet(p(dir, "nation"))
+      val c = cust(s, dir)
+      val o = ord(s, dir)
+      val l = li(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
+    "q3_semi_join" -> ((s, dir) => {
+      // EXISTS: customers with at least one order (left_semi — no row
+      // multiplication, build side only hashes keys)
+      val c = cust(s, dir)
+      val o = ord(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q4_anti_join" -> ((s, dir) => {
+      // NOT EXISTS: customers with no orders
+      val c = cust(s, dir)
+      val o = ord(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q5_window_topk" -> ((s, dir) => {
+      // the reference's LRU keep-newest analogue (main.py:166-171) as
+      // row_number over a per-customer window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      ord(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3 && col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("o_custkey"), col("rn"), col("o_orderkey"))
+    }),
+
+    "q6_rollup" -> ((s, dir) => {
+      li(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    "q7_sort_limit" -> ((s, dir) => {
+      li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .orderBy(col("price_cents").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
+    "q8_intersect" -> ((s, dir) => {
+      cust(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+        .intersect(s.read.parquet(p(dir, "supplier"))
+          .select(col("s_nationkey").cast("long").as("nationkey")))
+        .orderBy(col("nationkey"))
+    }),
+
+    "q9_events_daily" -> ((s, dir) => {
+      s.read.parquet(p(dir, "events"))
+        .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), cents(col("value")).as("value_cents"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
+    "q10_topk_recent" -> ((s, dir) => {
+      // LRU eviction analogue: keep the 10 newest (main.py:166-171)
+      s.read.parquet(p(dir, "events"))
+        .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+        .orderBy(col("ts_us").desc, col("event_id"))
+        .limit(10)
+    }),
+
+    // --- extraction-semantics columnar ops over documents ----------------
+    "q_textclean" -> ((s, dir) => {
+      // columnar sanitizer over a deterministically-dirtied text (the raw
+      // corpus is already clean ASCII; the suffix exercises every branch)
+      val dirty = concat(col("text"),
+        lit(" \"q\" \\path\\ \u00e9\u4e2d\u200bzw\u200b\u0007ctl  end\t."))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.cleanCol(dirty).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_filter_nonempty" -> ((s, dir) => {
-      // empty-page filter analogue (main.py:367): drop docs whose trimmed
-      // text is empty, count per language. Pushed-down scan: only text+lang.
-      s.read.parquet(t(dir, "documents"))
+      // empty-page filter analogue (main.py:367)
+      docs(s, dir)
         .filter(length(trim(col("text"))) > 0)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
+    }),
+
+    "q_charcount_agg" -> ((s, dir) => {
+      // character_count aggregate (main.py:438) per source
+      docs(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("sum_chars"),
+          sum(col("n_chars")).cast("long").as("sum_nchars"))
+        .orderBy(col("source"))
+    }),
+
+    "q_lang_detect" -> ((s, dir) => {
+      // reference keyword scorer as a CASE expression (main.py:87-160)
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.detectLangCol(col("text")).as("detected"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_quality" -> ((s, dir) => {
+      val qs = TextOps.qualityCols(col("text"))
+        .map { case (n, c) => c.cast("long").as(n) }
+      docs(s, dir)
+        .select(col("doc_id") +: qs: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_tokens" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(sum(TextOps.tokenCountCol(col("text")).cast("long")).as("sum_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- dedup suite ------------------------------------------------------
+    "dd_exact" -> ((s, dir) => {
+      Dedup.exact(augmented(s, dir), "doc_id", "text")
+        .filter(col("n_copies") >= 2)
+        .orderBy(col("fp"))
+    }),
+
+    "dd_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(augmented(s, dir), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      // two-stage dedup: LSH candidates → exact Jaccard verify; threshold
+      // ≥ 0.6 by integer cross-multiplication (no float parity risk):
+      // n_common / (n_a + n_b - n_common) >= 0.6
+      Dedup.ngramJaccardVerified(augmented(s, dir), "doc_id", "text")
+        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "dd_simhash" -> ((s, dir) => {
+      // native codegen expression (graft.functions.SimHash64); rows-only
+      // check (bit-level hash not expressible in DuckDB)
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.functions.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- similarity search -----------------------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val q = queryVector(s, dir)
+      Similarity.bruteForceTopK(emb(s, dir), "vec_id", "embedding", q, 10)
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val q = queryVector(s, dir)
+      Similarity.lshBucketedTopK(emb(s, dir), "vec_id", "embedding", q, 10)
+    }),
+
+    "dd_embed_near" -> ((s, dir) => {
+      // embedding near-dup candidates blocked by label (rows-only: float
+      // threshold boundary is not cross-engine exact)
+      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- multimodal plumbing ---------------------------------------------
+    "mm_decode" -> ((s, dir) => {
+      // binary column round-trip: payload = utf8 bytes of text; byte length
+      // + md5 checksum are engine-portable
+      val d = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      d.select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_decode_full" -> ((s, dir) => {
+      // full stub-decoder path (per-partition decoder init; rows-only)
+      val d = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(d, "doc_id", "payload").toDF()
+        .orderBy(col("media_id"))
+    }),
+
+    // --- array metadata op ------------------------------------------------
+    "q_array_meta" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
+          col("label").cast("long").as("label"))
+        .orderBy(col("vec_id"))
     })
   )
 
+  /** Shared minhash-LSH CTE prefix for the dedup oracles — mirrors
+    * `Dedup.minhashSignature`/`minhashCandidates` exactly: per-row shingle
+    * sets → list_min of md5-permuted shingles → 4 two-row band digests. */
+  private def minhashOracle(tail: String, extraCte: Boolean = false): String = {
+    val sigCols = (0 until 8)
+      .map(i => s"list_min(list_transform(shl, s -> md5('$i|' || s))) AS m$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS digest FROM sig")
+      .mkString("\n    UNION ALL ")
+    s"""WITH $augmentedSql,
+       |w AS (SELECT doc_id, ${Dedup.wordsSql("text")} AS wl FROM aug),
+       |sets AS (SELECT doc_id, list_distinct(${Dedup.shingleListSql("wl")}) AS shl FROM w),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sets),
+       |bands AS (
+       |    $bandRows
+       |)${if (extraCte) "," else ""}
+       |$tail""".stripMargin
+  }
+
+  /** Deterministic ANN query vector: the embedding of the smallest vec_id. */
+  private def queryVector(s: SparkSession, dir: String): Seq[Float] = {
+    val row = emb(s, dir).orderBy(col("vec_id")).select(col("embedding")).head()
+    row.getSeq[Float](0)
+  }
+
+  // ----------------------------------------------------------------- oracle
+
   val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(ROUND(l_extendedprice * 100)) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS sum_disc_cents,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(SUM(ROUND(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q3_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_anti_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn, price_cents FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |WHERE rn <= 3 AND o_custkey < 200
+        |ORDER BY o_custkey, rn, o_orderkey""".stripMargin,
+
+    "q6_rollup" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+        |  COALESCE(l_linestatus, '<all>') AS lstatus,
+        |  COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q7_sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q8_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+        |ORDER BY 1""".stripMargin,
+
+    "q9_events_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(ROUND(value * 100)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_topk_recent" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us FROM events
+        |ORDER BY ts_us DESC, event_id LIMIT 10""".stripMargin,
+
+    "q_textclean" ->
+      s"""SELECT doc_id, ${TextOps.cleanSql(
+        "text || ' \"q\" \\path\\ ' || chr(233) || chr(20013) || chr(8203) || 'zw' || chr(8203) || chr(7) || 'ctl  end' || chr(9) || '.'")} AS cleaned
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_filter_nonempty" ->
       """SELECT lang, count(*) AS n_docs
         |FROM documents WHERE length(trim(text)) > 0
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_charcount_agg" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_nchars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lang_detect" ->
+      s"""SELECT doc_id, ${TextOps.detectLangSql("text")} AS detected
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" -> {
+      val cols = TextOps.qualitySql
+        .map { case (n, e) => s"CAST($e AS BIGINT) AS $n" }.mkString(",\n  ")
+      s"SELECT doc_id,\n  $cols\nFROM documents ORDER BY doc_id"
+    },
+
+    "q_tokens" ->
+      s"""SELECT lang, CAST(SUM(${TextOps.tokenCountSql("text")}) AS BIGINT) AS sum_tokens
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd_exact" ->
+      s"""WITH $augmentedSql
+         |SELECT ${TextOps.fingerprintSql("text")} AS fp,
+         |  MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+         |FROM aug GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY fp""".stripMargin,
+
+    "dd_minhash_lsh" -> Queries.minhashOracle(
+      """SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "dd_ngram_jaccard" -> Queries.minhashOracle(
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+        |  CAST(len(sa.shl) AS BIGINT) AS n_a,
+        |  CAST(len(sb.shl) AS BIGINT) AS n_b
+        |FROM cand
+        |JOIN sets sa ON sa.doc_id = id_a
+        |JOIN sets sb ON sb.doc_id = id_b
+        |WHERE len(list_intersect(sa.shl, sb.shl)) * 10
+        |      >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6
+        |ORDER BY id_a, id_b""".stripMargin, extraCte = true),
+
+    "mm_decode" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_array_meta" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(label AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    // dd_simhash, ann_topk, ann_lsh, dd_embed_near, mm_decode_full:
+    // intentionally no oracle (not expressible / float-boundary) →
+    // driver records the weaker rows-only check.
   )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash document fingerprint as a NATIVE Catalyst expression with
+  * whole-stage codegen (`doGenCode` emits a static call — no UDF boxing, no
+  * CodegenFallback). Near-duplicate texts differ in few bits; pairs are
+  * found by comparing fingerprints within LSH bands of the 64 bits.
+  *
+  * Algorithm (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002; as popularized for web dedup by Manku et al.,
+  * WWW 2007): hash each whitespace token to 64 bits; for each bit position
+  * sum +1/-1 votes across tokens; fingerprint bit = 1 iff the vote is
+  * positive.
+  */
+object SimHash {
+
+  /** Static kernel the generated code calls. Deterministic (Hash64/fmix). */
+  def compute(s: UTF8String): Long = {
+    if (s == null) return 0L
+    val str = s.toString
+    val votes = new Array[Int](64)
+    var start = 0
+    val n = str.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ' || str.charAt(i) == '\t' || str.charAt(i) == '\n') {
+        if (i > start) {
+          val h = graft.core.Hash64(str.substring(start, i).toLowerCase(java.util.Locale.ROOT))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires STRING, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object functions {
+  /** Column API for the native expression (Spark 4: Column ↔ Expression via
+    * the classic ExpressionUtils bridge). */
+  def simhash64(c: Column): Column =
+    bridge.column(SimHash64(bridge.expression(c)))
+}

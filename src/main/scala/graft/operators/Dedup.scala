@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the large-scale training-data pipeline.
+  * Each has a Spark form (built-ins only → whole-stage codegen, shuffle
+  * bounded by groupBy keys) and, where the math is engine-portable, a DuckDB
+  * oracle SQL built from the SAME constants.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup: one hash-shuffle on a 16-byte digest — minimal key width;
+  *    map-side partial aggregation halves shuffle volume.
+  *  - minhash-LSH: signatures are per-doc aggregations over exploded
+  *    shingles (shuffle keyed by doc_id = already-clustered), then the
+  *    candidate join is keyed by tiny band digests — only colliding buckets
+  *    shuffle together; no quadratic blowup. md5 is used here so the DuckDB
+  *    oracle can reproduce signatures bit-for-bit; prod swaps xxhash64
+  *    (same plan shape, ~10× cheaper hash).
+  *  - n-gram Jaccard verifies candidate pairs only (LSH output), never the
+  *    full cross product.
+  */
+object Dedup {
+
+  /** 3-word shingles of the whitespace-normalized lowercase text. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(regexp_replace(lower(trim(text)), " +", " "), " ")
+    // transform over sliding windows: indexes 0..size-n
+    filter(
+      transform(words, (_, i) =>
+        when(i <= size(words) - n,
+          concat_ws(" ", (0 until n).map(k => element_at(words, i + k + 1)): _*))),
+      s => s.isNotNull)
+  }
+
+  /** DuckDB: the words-list expression to bind in a CTE as e.g. `w`. */
+  def wordsSql(e: String): String =
+    s"string_split(regexp_replace(lower(trim($e)), ' +', ' ', 'g'), ' ')"
+
+  /** DuckDB: shingle list over a bound words-list alias (1-based indexing;
+    * `range(1, len-1)` is end-exclusive → starts 1..len-n+1). */
+  def shingleListSql(wordsAlias: String, n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"$wordsAlias[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($wordsAlias) - ${n - 2}), i -> $parts)"
+  }
+
+  /** Exact dedup: group identical normalized texts by md5 fingerprint;
+    * output (hash, keeper=min id, n_dups). One shuffle on the digest. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextOps.fingerprintCol(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature columns: perm i ↦ min over shingles of
+    * md5(i || '|' || shingle). Engine-portable (string min over hex).
+    *
+    * Computed per-ROW with `transform` + `array_min` — no explode, no
+    * groupBy, NO SHUFFLE: at 10^12 docs the signature stage is a pure map
+    * over the scan. Docs with < n words get a null signature and drop out
+    * of candidate generation (null never joins). */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8): DataFrame = {
+    val sh = array_distinct(shingles(col(textCol)))
+    val sigs = (0 until numPerms).map(i =>
+      array_min(transform(sh, s =>
+        md5(concat(lit(s"$i|"), s).cast("binary")))).as(s"m$i"))
+    docs.select((col(idCol) +: sigs): _*)
+  }
+
+  /** LSH candidate pairs: band b = md5(m_{2b} || m_{2b+1}); docs sharing any
+    * band digest are candidates. Output (id_a < id_b, band). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numPerms)
+    val nBands = numPerms / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("digest"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bands: _*)).as("bd"))
+      .select(col(idCol), col("bd.band"), col("bd.digest"))
+    val a = exploded.as("a")
+    val b2 = exploded.as("b")
+    a.join(b2,
+        col("a.band") === col("b.band") && col("a.digest") === col("b.digest") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the
+    * scale-correct two-stage dedup (candidates from `minhashCandidates`,
+    * exact |A∩B| via `array_intersect` on the per-doc shingle sets). Exact
+    * integer counts (n_common, n_a, n_b) so the threshold can be applied by
+    * integer cross-multiplication with no float parity risk. Never touches
+    * the quadratic all-pairs space. */
+  def ngramJaccardVerified(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, numPerms, rowsPerBand)
+    val sets = docs.select(col(idCol),
+      array_distinct(shingles(col(textCol))).as("shl"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("shl").as("shl_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shl").as("shl_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shl_a"), col("shl_b"))).cast("long").as("n_common"),
+        size(col("shl_a")).cast("long").as("n_a"),
+        size(col("shl_b")).cast("long").as("n_b"))
+  }
+}
