@@ -67,11 +67,14 @@ class ColumnarParitySpec extends AnyFunSuite {
   test("simhash64 survives whole-stage codegen (no fallback)") {
     import graft.functions.functions.simhash64
     import spark.implicits._
-    val df = Seq("a b c", "d e f").toDF("t").select(simhash64(col("t")).as("h"))
-    // If doGenCode threw, Spark would silently fall back; execute first
-    // (finalizes the plan), then assert a codegen span covers the project.
-    assert(df.as[Long].collect().length == 2)
+    // NB: over a literal local Seq, Catalyst CONSTANT-FOLDS the expression at
+    // plan time (LocalTableScan of precomputed values) — itself proof eval
+    // works. Codegen needs a non-foldable source: read parquet.
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(simhash64(col("text")).as("h"))
+    assert(df.as[Long].collect().nonEmpty)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WholeStageCodegen"), s"plan lacks codegen: $plan")
+    assert(!plan.contains("CodegenFallback"), "expression fell back from codegen")
   }
 }
