@@ -73,8 +73,10 @@ class ColumnarParitySpec extends AnyFunSuite {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(simhash64(col("text")).as("h"))
     assert(df.as[Long].collect().nonEmpty)
+    // the `*(n)` prefix in the compact plan string marks a WholeStageCodegen
+    // stage; the Project computing simhash64 must carry it.
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), s"plan lacks codegen: $plan")
-    assert(!plan.contains("CodegenFallback"), "expression fell back from codegen")
+    val projLine = plan.linesIterator.find(_.contains("simhash64")).getOrElse("")
+    assert(projLine.trim.startsWith("*("), s"simhash64 outside codegen: $plan")
   }
 }
