@@ -444,9 +444,47 @@ object Queries {
     "q_array_meta" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
         |  CAST(label AS BIGINT) AS label
-        |FROM embeddings ORDER BY vec_id""".stripMargin
-    // dd_simhash, ann_topk, ann_lsh, dd_embed_near, mm_decode_full:
-    // intentionally no oracle (not expressible / float-boundary) →
-    // driver records the weaker rows-only check.
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // ANN oracles output (rank, vec_id) ONLY: scores differ between engines
+    // at ~1 ulp (DuckDB's list_dot_product is not a sequential fold), but
+    // the measured top-k score gaps are >= 3e-4, so ranks agree.
+    "ann_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+        |           FROM embeddings ORDER BY vec_id LIMIT 1)
+        |SELECT rank, vec_id FROM (
+        |  SELECT vec_id, ROW_NUMBER() OVER (
+        |    ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC,
+        |             vec_id) AS rank
+        |  FROM embeddings)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "ann_lsh" -> annLshOracle
+    // dd_simhash, dd_embed_near, mm_decode_full: intentionally no oracle
+    // (not expressible / float-threshold-boundary) → driver records the
+    // weaker rows-only check.
   )
+
+  /** SRP-bucketed ANN oracle: the 4 hyperplane sign vectors are generated
+    * from the SAME `Similarity.planeSign` the Spark side uses (64 dims in
+    * the driver's embeddings tables). */
+  private def annLshOracle: String = {
+    val dims = 64
+    def planeLit(p: Int): String =
+      (0 until dims).map(d => graft.operators.Similarity.planeSign(p, d))
+        .mkString("[", ",", "]")
+    val bucketExpr = (0 until 4).map { p =>
+      s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings ORDER BY vec_id LIMIT 1),
+       |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |bb AS (SELECT vec_id, e, $bucketExpr AS bucket FROM b),
+       |qb AS (SELECT $bucketExpr AS bucket FROM (SELECT qe AS e FROM q))
+       |SELECT rank, vec_id FROM (
+       |  SELECT vec_id, ROW_NUMBER() OVER (
+       |    ORDER BY list_dot_product(e, (SELECT qe FROM q)) DESC, vec_id) AS rank
+       |  FROM bb WHERE bucket = (SELECT bucket FROM qb))
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
 }

@@ -23,13 +23,15 @@ object Consensus {
     if (texts.length == 1) return texts.head                       // main.py:189-190
     val maxLen = texts.iterator.map(_.length).max                  // main.py:193
     val sb = new java.lang.StringBuilder(maxLen)
+    // scratch hoisted out of the position loop (perf: no per-position alloc)
+    val seenChars = new Array[Char](texts.length)
+    val seenCounts = new Array[Int](texts.length)
+    val arr = texts.toArray
     var i = 0
     while (i < maxLen) {
       // counts in first-seen order over the ≤4 pass chars at position i
       var nSeen = 0
-      val seenChars = new Array[Char](texts.length)
-      val seenCounts = new Array[Int](texts.length)
-      texts.foreach { t =>
+      arr.foreach { t =>
         if (i < t.length) {
           val c = t.charAt(i)
           var k = 0

@@ -29,8 +29,42 @@ object DiffLib {
   final case class Match(a: Int, b: Int, size: Int)
 
   final class SequenceMatcher(a: String, b: String) {
-    // __chain_b: b2j minus popular elements (autojunk), bjunk empty (isjunk=None)
-    private val b2j: Map[Char, Array[Int]] = {
+    // __chain_b: b2j minus popular elements (autojunk), bjunk empty
+    // (isjunk=None). ASCII fast path: a 128-slot array instead of a hash
+    // map — b2j construction was a top allocation site (boxed chars,
+    // buffer churn) in the 32-thread extraction profile.
+    private val asciiOnly: Boolean = {
+      var i = 0
+      var ok = true
+      while (ok && i < b.length) { if (b.charAt(i) >= 128) ok = false; i += 1 }
+      ok
+    }
+
+    private val ntest = if (b.length >= 200) b.length / 100 + 1 else Int.MaxValue
+
+    private val b2jAscii: Array[Array[Int]] = if (!asciiOnly) null else {
+      val counts = new Array[Int](128)
+      var i = 0
+      while (i < b.length) { counts(b.charAt(i)) += 1; i += 1 }
+      val out = new Array[Array[Int]](128)
+      var c = 0
+      while (c < 128) {
+        // autojunk: popular chars (count > ntest) excluded from seeds
+        if (counts(c) > 0 && counts(c) <= ntest) out(c) = new Array[Int](counts(c))
+        c += 1
+      }
+      val fill = new Array[Int](128)
+      i = 0
+      while (i < b.length) {
+        val ch = b.charAt(i)
+        val arr = out(ch)
+        if (arr != null) { arr(fill(ch)) = i; fill(ch) += 1 }
+        i += 1
+      }
+      out
+    }
+
+    private val b2jMap: Map[Char, Array[Int]] = if (asciiOnly) null else {
       val m = mutable.LinkedHashMap.empty[Char, mutable.ArrayBuffer[Int]]
       var i = 0
       while (i < b.length) {
@@ -38,41 +72,53 @@ object DiffLib {
         i += 1
       }
       if (b.length >= 200) {                       // autojunk threshold
-        val ntest = b.length / 100 + 1             // popular iff count > ntest
         m.filterInPlace((_, idxs) => idxs.length <= ntest)
       }
       m.iterator.map { case (c, idxs) => c -> idxs.toArray }.toMap
     }
 
+    @inline private def positionsOf(c: Char): Array[Int] =
+      if (asciiOnly) { if (c < 128) b2jAscii(c) else null }
+      else b2jMap.getOrElse(c, null)
+
+    // Per-matcher scratch: primitive arrays instead of difflib's dicts —
+    // boxed HashMap churn here was the #1 allocation source in the whole
+    // pipeline (GC-bound at 32 threads). Same recurrence, same tie-breaks.
+    private val j2lenA = new Array[Int](b.length + 1)
+    private val j2lenB = new Array[Int](b.length + 1)
+
     def findLongestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): Match = {
       var besti = alo
       var bestj = blo
       var bestsize = 0
-      var j2len = mutable.Map.empty[Int, Int]
+      var prev = j2lenA
+      var cur = j2lenB
+      java.util.Arrays.fill(prev, blo, bhi + 1, 0)
       var i = alo
       while (i < ahi) {
-        val newj2len = mutable.Map.empty[Int, Int]
-        b2j.get(a.charAt(i)) match {
-          case Some(idxs) =>
-            var k = 0
-            var break = false
-            while (k < idxs.length && !break) {
-              val j = idxs(k)
-              if (j >= bhi) break = true
-              else if (j >= blo) {
-                val len = j2len.getOrElse(j - 1, 0) + 1
-                newj2len(j) = len
-                if (len > bestsize) {              // strict >: earliest (i, j) kept
-                  besti = i - len + 1
-                  bestj = j - len + 1
-                  bestsize = len
-                }
+        java.util.Arrays.fill(cur, blo, bhi + 1, 0)
+        val idxs = positionsOf(a.charAt(i))
+        if (idxs != null) {
+          var k = 0
+          var break = false
+          while (k < idxs.length && !break) {
+            val j = idxs(k)
+            if (j >= bhi) break = true
+            else if (j >= blo) {
+              // prev(j) holds j2len[j-1] from the previous row (index
+              // shifted by +1 so j-1 = blo-1 maps to slot blo → 0-filled)
+              val len = prev(j) + 1
+              cur(j + 1) = len
+              if (len > bestsize) {                // strict >: earliest (i, j) kept
+                besti = i - len + 1
+                bestj = j - len + 1
+                bestsize = len
               }
-              k += 1
             }
-          case None =>
+            k += 1
+          }
         }
-        j2len = newj2len
+        val t = prev; prev = cur; cur = t
         i += 1
       }
       // Non-junk extension (bjunk is empty with isjunk=None, so this is the

@@ -46,7 +46,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * in {-1, +1} from the fixture hash (no RNG state). */
-  private[operators] def planeSign(plane: Int, dim: Int): Double =
+  def planeSign(plane: Int, dim: Int): Double =
     if ((graft.core.Hash64(s"srp|$plane|$dim") & 1L) == 0L) -1.0 else 1.0
 
   /** Sign-random-projection bucket id (p bits) for an embedding column. */

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.media.{DeterministicMediaStore, DeterministicOcr}
+import graft.model.{Doc, DocOut}
+import graft.pipeline.{ExtractConf, ExtractKernel}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference has NO data streaming — its
+  * `/stream-extract` is SSE progress reporting (SURVEY.md §2.4) — so these
+  * are the engine's own streaming capabilities for the continuous-ingest
+  * path a production corpus has:
+  *
+  *  - `windowedEventCounts`: event-time tumbling windows + watermark (late
+  *    data dropped after 10 min) over the events stream.
+  *  - `sessionize`: stateful per-user sessions via `mapGroupsWithState` —
+  *    running event count + session span, the canonical custom-state shape.
+  *  - `extractStream`: the SAME extraction kernel as the batch pipeline run
+  *    incrementally over a micro-batched stream of docs (small-doc path
+  *    only: per-micro-batch inputs don't need mega-doc salting; a mega doc
+  *    arriving on the stream takes the whole-doc path of its batch).
+  */
+object StreamOps {
+
+  /** Tumbling 5-minute windows per event_type with a 10-minute watermark. */
+  def windowedEventCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100)).cast("long").as("value_cents"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  final case class UserSession(user_id: Long, n_events: Long,
+      first_us: Long, last_us: Long)
+
+  /** Running per-user session state (event count + first/last event time).
+    * Update-mode output: one row per user per micro-batch touched. */
+  def sessionize(events: Dataset[(Long, Long)]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserSession, UserSession](GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[UserSession]) =>
+          val evs = it.toSeq
+          val prev = state.getOption.getOrElse(UserSession(uid, 0, Long.MaxValue, Long.MinValue))
+          val next = UserSession(uid,
+            prev.n_events + evs.length,
+            math.min(prev.first_us, evs.iterator.map(_._2).min),
+            math.max(prev.last_us, evs.iterator.map(_._2).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Incremental extraction: same kernel, streaming source → streaming sink.
+    * `foreachBatch`-friendly; here expressed directly so the plan is a
+    * streaming MapPartitions (engine init amortized per partition per
+    * micro-batch). */
+  def extractStream(docs: Dataset[Doc], conf: ExtractConf): Dataset[DocOut] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      it.map(d => ExtractKernel.extractWhole(d, DeterministicMediaStore, DeterministicOcr, conf))
+    }
+  }
+}

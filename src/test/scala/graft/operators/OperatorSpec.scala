@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior tests for the training-data-pipeline operators on small
+  * constructed corpora (the oracle parity checks live in scripts/selfcheck
+  * + the driver's DuckDB diff; these pin the semantics). */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the wide river bank today"), // near-dup
+      (4L, "completely different text about contracts and monthly lease payments due"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+      .filter(col("n_copies") >= 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("keeper") == 1L)
+    assert(out.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH surfaces exact and near dup candidates, not unrelated docs") {
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"exact dup pair missing: $cand")
+    // near-dup 3 shares most shingles with 1/2 — at 4 bands of 2 rows the
+    // collision probability is high; unrelated 4 must not pair with 1
+    assert(!cand.contains((1L, 4L)) && !cand.contains((2L, 4L)), s"false pair: $cand")
+  }
+
+  test("jaccard verification: identical docs = full overlap, near-dups partial") {
+    val rows = Dedup.ngramJaccardVerified(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (c12, a12, b12) = rows((1L, 2L))
+    assert(c12 == a12 && a12 == b12, "identical docs must fully overlap")
+    rows.get((1L, 3L)).foreach { case (c, a, b) =>
+      assert(c < math.max(a, b) && c > 0, "near-dup should partially overlap")
+    }
+  }
+
+  test("shingles: 3-word windows, normalized") {
+    import spark.implicits._
+    val sh = Seq(("A  quick   Brown fox", 1)).toDF("text", "i")
+      .select(Dedup.shingles(col("text")).as("sh")).as[Seq[String]].head()
+    assert(sh == Seq("a quick brown", "quick brown fox"))
+  }
+
+  test("brute-force ANN: self is rank 1; k bounds output") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f), 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(top.head == ((1, 0L)))
+    assert(top(1) == ((2, 1L)))
+    assert(top.length == 3)
+  }
+
+  test("SRP bucketing: identical vectors share a bucket; query finds its own bucket") {
+    import spark.implicits._
+    val v = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val vecs = Seq((0L, v), (1L, v), (2L, v.map(-_))).toDF("vec_id", "embedding")
+    val b = vecs.select(col("vec_id"), Similarity.srpBucket(col("embedding"), 4, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(0L) == b(1L))
+    val found = Similarity.lshBucketedTopK(vecs, "vec_id", "embedding", v.toSeq, 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(found.contains(0L) && found.contains(1L))
+  }
+
+  test("multimodal stub decode: deterministic metadata, format sniffing") {
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0, 0, 0, 1, 2, 3)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0x01, 0x02)
+    val df = Seq((1L, png), (2L, jpg), (3L, "plain".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val metas = Multimodal.decodeMeta(df, "id", "payload")
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).format == "png")
+    assert(metas(2L).format == "jpeg")
+    assert(metas(3L).format == "bin")
+    assert(metas(3L).byte_len == 5L)
+    // deterministic: same payload → same checksum+dims
+    val again = Multimodal.decodeMeta(df, "id", "payload").collect().map(m => m.media_id -> m).toMap
+    assert(again == metas)
+  }
+
+  test("Io: schema validation rejects wrong span shape; roundtrip preserves docs") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val docs = graft.pipeline.Fixtures.testDocsDS(spark)
+    graft.sources.Io().writeDocs(docs.toDF(), s"$tmp/docs")
+    val back = graft.sources.Io().readDocs(spark, s"$tmp/docs")
+    assert(back.collect().map(_.doc_id).toSet == docs.collect().map(_.doc_id).toSet)
+    val bad = Seq(("a", Seq(1, 2))).toDF("doc_id", "spans")
+    bad.write.mode("overwrite").parquet(s"$tmp/bad")
+    intercept[IllegalArgumentException] {
+      graft.sources.Io().readDocs(spark, s"$tmp/bad")
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import graft.pipeline.{ExtractConf, ExtractKernel, Fixtures}
+import graft.media.{DeterministicMediaStore, DeterministicOcr}
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("windowed event counts with watermark (append after watermark passes)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedEventCounts(df)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("win_counts").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      in.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(2), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time past watermark so the 10:00 window closes
+      in.addData((t(30), "click", 4.0))
+      q.processAllAvailable()
+      in.addData((t(45), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("event_type"), col("n_events"), col("value_cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains(("click", 2L, 300L)), s"got $rows") // 10:00 window
+      assert(rows.contains(("view", 1L, 300L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateful sessionize accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.sessionize(in.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sessions").start()
+    try {
+      in.addData((1L, 100L), (1L, 200L), (2L, 50L))
+      q.processAllAvailable()
+      in.addData((1L, 300L))
+      q.processAllAvailable()
+      val last = spark.table("sessions")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), min(col("first_us")).as("f"), max(col("last_us")).as("l"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(last.contains((1L, 3L, 100L, 300L)), s"got $last")
+      assert(last.contains((2L, 1L, 50L, 50L)), s"got $last")
+    } finally q.stop()
+  }
+
+  test("streaming extraction equals the batch kernel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val conf = ExtractConf(level = "medium")
+    val docs = Fixtures.testDocs.take(16)
+    val in = MemoryStream[graft.model.Doc]
+    val q = StreamOps.extractStream(in.toDS(), conf)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("extracted").start()
+    try {
+      in.addData(docs.take(8))
+      q.processAllAvailable()
+      in.addData(docs.drop(8))
+      q.processAllAvailable()
+      val got = spark.table("extracted").as[graft.model.DocOut]
+        .collect().map(d => d.doc_id -> d).toMap
+      assert(got.keySet == docs.map(_.doc_id).toSet)
+      docs.foreach { d =>
+        val exp = ExtractKernel.extractWhole(d, DeterministicMediaStore, DeterministicOcr, conf)
+        assert(got(d.doc_id).spans == exp.spans, s"stream/batch mismatch for ${d.doc_id}")
+        assert(got(d.doc_id).confidence == exp.confidence)
+      }
+    } finally q.stop()
+  }
+}
