@@ -1,0 +1,36 @@
+package graft
+
+import graft.functions.{LangDetectExpr, QClean, SimHash64, SimRatio}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point — registers the engine's native
+  * expressions as SQL functions so any session (including plain
+  * `spark-submit --conf spark.sql.extensions=graft.GraftExtensions` or a
+  * Thrift/Connect gateway) can call them from SQL:
+  *
+  * {{{
+  *   SELECT doc_id, qclean(text), lang_detect(text), simhash64(text)
+  *   FROM documents
+  *   WHERE sim_ratio(a, b) > 0.9
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("qclean"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.QClean", "qclean"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => QClean(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lang_detect"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.LangDetectExpr", "lang_detect"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => LangDetectExpr(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.SimHash64", "simhash64"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimHash64(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sim_ratio"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.SimRatio", "sim_ratio"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimRatio(args(0), args(1))))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.core.{LangDetect, TextClean}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: GraftExtensions must register the native kernel
+  * expressions so plain SQL sessions can use them, with EXACT kernel
+  * semantics. Needs its own SparkSession (extensions are builder-time). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // the shared test session may exist; extensions need their own
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.newSession() // ensure extension-applied state
+    s
+  }
+
+  test("qclean / lang_detect / simhash64 / sim_ratio callable from SQL with kernel semantics") {
+    val dirty = "say \"hi\"\tworld​joined  café "
+    spark.sql("DROP TABLE IF EXISTS ext_docs")
+    import spark.implicits._
+    Seq((1L, dirty), (2L, "el contrato de la fecha y los meses"))
+      .toDF("id", "t").createOrReplaceTempView("ext_docs")
+    val rows = spark.sql(
+      """SELECT id, qclean(t) AS c, lang_detect(t) AS l,
+        |  simhash64(t) AS h, sim_ratio(t, t) AS r
+        |FROM ext_docs ORDER BY id""".stripMargin).collect()
+    assert(rows(0).getString(1) == TextClean.clean(dirty))
+    assert(rows(0).getString(2) == LangDetect.detect(dirty))
+    assert(rows(0).getLong(3) == graft.functions.SimHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(dirty)))
+    assert(rows(0).getDouble(4) == 1.0)
+    assert(rows(1).getString(2) == "spanish")
+  }
+
+  test("sim_ratio in SQL equals the difflib kernel on asymmetric inputs") {
+    val got = spark.sql("SELECT sim_ratio('kitten', 'sitting') AS r").head().getDouble(0)
+    assert(got == 0.6153846153846154)
+  }
+}
