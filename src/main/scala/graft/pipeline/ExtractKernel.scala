@@ -59,12 +59,16 @@ object ExtractKernel {
 
   /** Estimated physical pages of a span (metadata only). */
   def spanPages(s: Span, store: MediaStore): Int = s.kind match {
-    case "pdf" => store.pageCount(s.media_ref)
-    case _ => 1 // text / html / image are one "page" each
+    case "pdf" if s.media_ref != null && s.media_ref.nonEmpty =>
+      store.pageCount(s.media_ref)
+    case _ => 1 // text / html / image (and ref-less pdf) are one "page" each
   }
 
   def plan(doc: Doc, store: MediaStore, conf: ExtractConf): Seq[WorkUnit] = {
-    val ordered = doc.spans.sortBy(_.offset)
+    // Null-tolerant at the boundary: real corpora carry null spans arrays /
+    // null span elements; a null-spans doc degrades to an empty DocOut
+    // (confidence 0, main.py:546 `else 0` branch) instead of failing a task.
+    val ordered = Option(doc.spans).getOrElse(Nil).filter(_ != null).sortBy(_.offset)
     val total = ordered.iterator.map(spanPages(_, store)).sum
     if (total <= conf.skewPageThreshold) {
       WorkUnit(doc.doc_id, 0, 1, ordered, -1, -1) :: Nil
@@ -109,9 +113,15 @@ object ExtractKernel {
     val n = ExtractConf.passesFor(conf.level)
     val out = Seq.newBuilder[RawPage]
     unit.spans.foreach { s =>
-      s.kind match {
+      // null-tolerant: null kind → text; media span with null/empty ref →
+      // one empty physical page (counted, dropped post-clean)
+      val kind = if (s.kind == null) "text" else s.kind
+      val noMedia = (kind == "pdf" || kind == "image") &&
+        (s.media_ref == null || s.media_ref.isEmpty)
+      (if (noMedia) "text" else kind) match {
         case "html" =>
-          out += RawPage("html", s.media_ref, s.offset, 1, Seq(Boilerplate.extract(s.text)), keepEmpty = false)
+          out += RawPage("html", s.media_ref, s.offset, 1,
+            Seq(Boilerplate.extract(if (s.text == null) "" else s.text)), keepEmpty = false)
         case "pdf" =>
           val total = store.pageCount(s.media_ref)
           val (from, to) = if (unit.pageFrom > 0) (unit.pageFrom, unit.pageTo) else (1, total)
