@@ -58,6 +58,7 @@ final case class UnitOut(
   * span-count/byte metrics ... alongside snapshot checkpoints"). */
 final case class LineageRow(
     run_id: String,
+    path: String,        // "common" | "salted" — which pipeline branch
     partition_id: Int,
     doc_id_min: String,
     doc_id_max: String,

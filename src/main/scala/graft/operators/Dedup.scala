@@ -100,9 +100,15 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("digest"))
     }
+    // Explicit shuffle on the band key BEFORE the self-join: both join
+    // sides then hang off the identical exchange, which ReuseExchange
+    // materializes once — without it Catalyst broadcasts one side and the
+    // whole signature pipeline (8 md5s per shingle) computes twice. The
+    // shuffled rows are tiny (id + band + 32-byte digest).
     val exploded = sig
       .select(col(idCol), explode(array(bands: _*)).as("bd"))
       .select(col(idCol), col("bd.band"), col("bd.digest"))
+      .repartition(col("band"), col("digest"))
     val a = exploded.as("a")
     val b2 = exploded.as("b")
     a.join(b2,

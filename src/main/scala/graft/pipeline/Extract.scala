@@ -72,7 +72,7 @@ object Extract {
     val kstore = store
     val kengine = engine
 
-    def withLineage[T](docIdOf: T => String, spansOf: T => Seq[Span])(
+    def withLineage[T](path: String, docIdOf: T => String, spansOf: T => Seq[Span])(
         it: Iterator[T]): Iterator[T] = lineageAcc match {
       case None => it
       case Some(acc) =>
@@ -87,7 +87,7 @@ object Extract {
           def hasNext: Boolean = {
             val h = it.hasNext
             if (!h && docs >= 0) {
-              acc.add(LineageRow(kconf.runId, pid, Option(minId).getOrElse(""),
+              acc.add(LineageRow(kconf.runId, path, pid, Option(minId).getOrElse(""),
                 Option(maxId).getOrElse(""), docs, spans, bytes,
                 (System.nanoTime() - t0) / 1000000))
               docs = -1 // emit once
@@ -118,7 +118,7 @@ object Extract {
               ExtractKernel.extractUnit(units.head, kstore, kengine, kconf))))
           else Iterator.empty
         }
-        withLineage[DocOut](_.doc_id, _.spans)(small)
+        withLineage[DocOut]("common", _.doc_id, _.spans)(small)
       }
 
     // --- skew path: mega docs → salted page-range units → spread shuffle →
@@ -136,7 +136,7 @@ object Extract {
       }
       .groupByKey(_.doc_id)
       .mapGroups { (id, us) => ExtractKernel.merge(id, us.toSeq) }
-      .mapPartitions(it => withLineage[DocOut](_.doc_id, _.spans)(it))
+      .mapPartitions(it => withLineage[DocOut]("salted", _.doc_id, _.spans)(it))
 
     wholeOut.union(saltedOut)
   }
@@ -176,7 +176,13 @@ object Extract {
 
     val lineage = {
       import scala.jdk.CollectionConverters._
+      // Retried/speculated tasks can deliver duplicate accumulator updates
+      // for shuffle-map stages; dedupe by (path, partition), keeping the
+      // update that saw the most docs (a retry that superseded a partial).
       acc.value.asScala.toSeq
+        .groupBy(r => (r.path, r.partition_id))
+        .values.map(_.maxBy(_.doc_count)).toSeq
+        .sortBy(r => (r.path, r.partition_id))
     }
     if (lineage.nonEmpty) {
       spark.createDataset(lineage)
