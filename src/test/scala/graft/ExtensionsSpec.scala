@@ -10,15 +10,23 @@ import org.scalatest.funsuite.AnyFunSuite
 class ExtensionsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
-    // the shared test session may exist; extensions need their own
+    // The shared test session (SparkTestBase) may already be the default —
+    // getOrCreate would return it WITHOUT extensions. Clear the session
+    // registry (the SparkContext itself is reused) so the builder actually
+    // constructs a new session with GraftExtensions applied.
+    // `spark.sql.extensions` is a STATIC conf — ignored when a SparkContext
+    // already exists (spark-submit sets it at launch; the scaladoc example
+    // on GraftExtensions covers that path). The programmatic
+    // `withExtensions` applies to the new session regardless.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.newSession() // ensure extension-applied state
     s
   }
 
