@@ -28,7 +28,49 @@ object TextClean {
   private val HorizWs = "[ \\t]+".r                     // main.py:79
   private val ManyNl  = "\\n{3,}".r                     // main.py:80
 
+  /** Single-pass fused form of the pipeline below — the hot-path
+    * implementation (one scan, one allocation, no regex). Equivalence
+    * argument (validated by the `clean == cleanReference` property and the
+    * reference-differential goldens):
+    * after step 1 maps every control char (incl. \n \r \t) to a space, all
+    * later newline/tab logic (steps 7/9, the \n\r\t carve-outs of step 6)
+    * is vacuous, so the chain reduces to a per-code-point map —
+    *   zero-width (U+200B–U+200D, U+FEFF) → removed,
+    *   control (00–1F, 7F–9F) → ' ',   '"' → '\'',   '\\' → '/',
+    *   other printable ASCII kept,     anything else (one astral = one) → ' '
+    * — followed by space-run collapse and trim. */
   def clean(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    val n = text.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      if ((cp >= 0x200B && cp <= 0x200D) || cp == 0xFEFF) {
+        // zero-width: removed, neighbors join (main.py:72)
+      } else {
+        val mapped: Int =
+          if (cp <= 0x1F || (cp >= 0x7F && cp <= 0x9F)) ' '        // main.py:59
+          else if (cp == '"') '\''                                 // main.py:62
+          else if (cp == '\\') '/'                                 // main.py:63
+          else if (cp >= 0x20 && cp <= 0x7E) cp                    // main.py:75 keep
+          else ' '                                                 // main.py:75 space out
+        if (mapped == ' ') pendingSpace = true                     // main.py:79 collapse
+        else {
+          if (pendingSpace && sb.length > 0) sb.append(' ')        // main.py:85 trim-left
+          pendingSpace = false
+          sb.appendCodePoint(mapped)
+        }
+      }
+    }
+    sb.toString                                                    // main.py:85 trim-right: trailing run never emitted
+  }
+
+  /** The literal step-by-step port (kept as the differential oracle for the
+    * fused `clean`; also documents each reference line). */
+  def cleanReference(text: String): String = {
     if (text == null || text.isEmpty) return ""                    // main.py:56-57
     var t = text
     t = Ctl.replaceAllIn(t, " ")                                   // main.py:59 (incl. \n \r \t)
