@@ -243,6 +243,14 @@ object Queries {
       Similarity.lshBucketedTopK(emb(s, dir), "vec_id", "embedding", q, 10)
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      // IVF: deterministic k-means coarse quantizer + nprobe search
+      // (rows-only: float k-means is not DuckDB-reproducible)
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
+      Similarity.ivfTopK(e, "vec_id", "embedding", queryVector(s, dir), 10, cents)
+    }),
+
     "dd_embed_near" -> ((s, dir) => {
       // embedding near-dup candidates blocked by label (rows-only: float
       // threshold boundary is not cross-engine exact)

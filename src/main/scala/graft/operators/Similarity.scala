@@ -86,6 +86,81 @@ object Similarity {
       .select(col("rank"), col(idCol))
   }
 
+  /** Deterministic distributed k-means (Lloyd's) for the IVF coarse
+    * quantizer: centroids seeded from the first k vectors by id (no RNG),
+    * each iteration = one aggregation job (assign via argmin expression,
+    * update via per-cluster mean); centroids collected to the driver
+    * between iterations (k × dims doubles — trivially small). */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 3): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    var centroids: Array[Array[Double]] = embeddings
+      .orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dims = centroids.head.length
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.withColumn("c", assignCluster(col(embCol), centroids))
+      // per-cluster elementwise mean via posexplode + groupBy (cluster, dim)
+      val means = assigned
+        .select(col("c"), posexplode(col(embCol)).as(Seq("d", "v")))
+        .groupBy(col("c"), col("d"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** argmin over squared distance to each centroid, as a pure expression
+    * (keeps assignment inside codegen; k small for the coarse level). */
+  private def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val dists = centroids.map { c =>
+      val cArr = array(c.map(lit): _*)
+      aggregate(zip_with(emb, cArr, (x, y) => {
+        val d = x.cast("double") - y
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    }
+    val minD = least(dists: _*)
+    // first cluster achieving the min (deterministic tie-break by index)
+    dists.zipWithIndex.reverse.foldLeft(lit(0)) { case (acc, (d, i)) =>
+      when(d === minD, lit(i)).otherwise(acc)
+    }
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest to the query, scan
+    * only vectors assigned to them (≈ nprobe/k of the table; with the table
+    * stored partitioned by cluster this is partition pruning), then exact
+    * top-k within the probed subset. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, embCol: String,
+      q: Seq[Float], k: Int, centroids: Array[Array[Double]],
+      nprobe: Int = 2): DataFrame = {
+    val qd = q.map(_.toDouble).toArray
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length) { val t = qd(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy { case (i, d) => (d, i) }
+      .take(nprobe).map(_._1)
+    embeddings
+      .withColumn("c", assignCluster(col(embCol), centroids))
+      .filter(col("c").isin(probed.map(Integer.valueOf): _*))
+      .select(col(idCol), dotCol(col(embCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))))
+      .select(col("rank"), col(idCol))
+  }
+
   /** All-pairs near-duplicate candidates above a dot-product threshold,
     * blocked by a grouping column to avoid the full cross product. */
   def nearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,

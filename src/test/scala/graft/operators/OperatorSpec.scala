@@ -113,4 +113,23 @@ class OperatorSpec extends AnyFunSuite {
       graft.sources.Io().readDocs(spark, s"$tmp/bad")
     }
   }
+
+  test("IVF: k-means converges on separated clusters; probe finds the right bucket") {
+    import spark.implicits._
+    // two well-separated clusters in 4-d
+    val mk = (base: Float, i: Long) => (i, Array(base, base, base, base).zipWithIndex
+      .map { case (v, d) => v + 0.01f * ((i + d) % 3) })
+    val vecs = ((0L until 20L).map(mk(1.0f, _)) ++ (20L until 40L).map(mk(-1.0f, _)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 3)
+    assert(cents.length == 2)
+    // centroids should land near +1 and -1 means
+    val signs = cents.map(c => math.signum(c.sum)).sorted
+    assert(signs.toSeq == Seq(-1.0, 1.0), s"centroids not separated: ${cents.map(_.mkString(",")).mkString(" | ")}")
+    // querying near the positive cluster must return positive-cluster ids
+    val top = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      Seq(1.0f, 1.0f, 1.0f, 1.0f), 5, cents, nprobe = 1)
+      .collect().map(_.getLong(1))
+    assert(top.forall(_ < 20L), s"IVF probed wrong bucket: ${top.mkString(",")}")
+  }
 }
