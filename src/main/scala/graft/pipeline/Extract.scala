@@ -12,32 +12,41 @@ import org.apache.spark.util.CollectionAccumulator
   * 1000-executor cluster over 10^12 docs:
   *
   * {{{
-  * scan (parquet sandbox / Iceberg prod; resume anti-join)
-  *   → repartitionByRange(doc_id)              // ONE full shuffle, range-
-  *                                             // clustered lineage buckets
-  *   → [common path]  filter(small) → mapPartitions(kernel) → DocOut
-  *   → [skew path]    filter(mega)  → flatMap(salted WorkUnits)
-  *                    → repartition(doc_id, salt)   // tiny slice only
-  *                    → mapPartitions(kernel) → groupByKey(doc_id) → merge
-  *   → union → observe(metrics) → idempotent append
+  * [skew probe]  column-pruned metadata scan (doc_id, spans.kind,
+  *               spans.media_ref — never the text payload) → page estimate
+  *               per doc → collect+broadcast the TINY set of mega doc_ids
+  * [common path] scan → mapPartitions(kernel, skip megas) → DocOut
+  *               — a SINGLE STAGE: no shuffle anywhere between the source
+  *               and the sink
+  * [skew path]   scan filtered by doc_id IN (megas)   // predicate pushed
+  *               → flatMap(salted page-range WorkUnits)   // to row-group
+  *               → repartition(doc_id, salt)              // skipping
+  *               → mapPartitions(kernel) → groupByKey(doc_id) → merge
+  * union → observe(metrics) → idempotent append
   * }}}
   *
   * Scale properties:
   *  - The expensive extraction runs exactly once per page either way.
-  *  - ~99.9% of docs take the common path: NO post-extraction shuffle at
-  *    all — extracted bytes land straight in the writer. Only the mega-doc
-  *    slice (0.1% of docs by count) pays the salted repartition + merge
-  *    shuffle; its units are spread over (doc_id, salt) so no single task
+  *  - ~99.9% of docs take the common path, which is embarrassingly
+  *    parallel: scan → extract → write with ZERO shuffles. (An earlier
+  *    design range-shuffled the full input first so both branches could
+  *    reuse one exchange; profiling showed that shuffle — a full write+
+  *    read of the corpus — was the dominant non-scaling stage once the
+  *    kernel was optimized. The metadata probe costs a ~few-% column-pruned
+  *    scan instead.)
+  *  - Only the mega-doc slice pays a shuffle, and its input scan prunes to
+  *    almost nothing via the pushed `doc_id IN (...)` filter (parquet
+  *    row-group stats). Units spread over (doc_id, salt) so no single task
   *    owns a 256-page doc (SURVEY.md §4.2 salting).
-  *  - Both branches hang off the SAME RepartitionByRange exchange, so
-  *    Catalyst's ReuseExchange executes the scan + range shuffle once.
-  *  - AQE coalesces/splits post-shuffle partitions at runtime.
+  *  - The skew threshold is a TAIL bound (docs larger than ~a task's worth
+  *    of pages): ordinary size variance is absorbed by tasks; the broadcast
+  *    mega-id set stays tiny by construction (guarded).
   *  - OCR engine init is amortized once per partition inside
   *    `mapPartitions` (the reference pays a subprocess spawn per page pass,
   *    `main.py:229`).
-  *  - Per-partition lineage rows (run_id, partition, doc range, span/byte
-  *    counts, wall ms) are collected via an accumulator and persisted next
-  *    to the output — the north-rule lineage + resume proof.
+  *  - Per-partition lineage rows (run_id, path, partition, doc range,
+  *    span/byte counts, wall ms) are collected via an accumulator and
+  *    persisted next to the output — the north-rule lineage + resume proof.
   */
 object Extract {
 
@@ -60,17 +69,34 @@ object Extract {
       lineageAcc: Option[CollectionAccumulator[LineageRow]] = None): Dataset[DocOut] = {
     import spark.implicits._
 
-    // One full shuffle: range-cluster by doc_id. Everything downstream —
-    // both branches — reuses this exchange (verified via explain: Catalyst
-    // ReuseExchange). Range partitioning gives contiguous doc_id buckets →
-    // deterministic lineage ranges and clustered output files.
-    val clustered = docs
-      .repartitionByRange(conf.numPartitions, col("doc_id"))
-      .as[Doc]
-
     val kconf = conf
     val kstore = store
     val kengine = engine
+
+    // --- skew probe: metadata-only page estimate per doc. Relational
+    // column extraction so a parquet/Iceberg source reads ONLY doc_id +
+    // spans.kind + spans.media_ref (nested schema pruning skips the text
+    // payload — the bulk of the bytes).
+    val megaIds: Array[String] = docs.toDF()
+      .select(col("doc_id"), col("spans.kind").as("kinds"),
+        col("spans.media_ref").as("refs"))
+      .as[(String, Seq[String], Seq[String])]
+      .flatMap { case (id, kindsOrNull, refsOrNull) =>
+        val kinds = Option(kindsOrNull).getOrElse(Nil)
+        val refs = Option(refsOrNull).getOrElse(Nil)
+        val pages = kinds.iterator.zip(refs.iterator).map {
+          case ("pdf", r) if r != null && r.nonEmpty => kstore.pageCount(r)
+          case _ => 1
+        }.sum
+        if (pages > kconf.skewPageThreshold) Some(id) else None
+      }
+      .collect()
+    // The threshold is a tail bound; a huge mega set means it's set far too
+    // low for this corpus — fail loudly rather than broadcast gigabytes.
+    require(megaIds.length <= 10000000,
+      s"skewPageThreshold=${conf.skewPageThreshold} marks ${megaIds.length} docs as mega " +
+        "— raise the threshold (it should bound the extreme tail only)")
+    val megaSet = spark.sparkContext.broadcast(megaIds.toSet)
 
     def withLineage[T](path: String, docIdOf: T => String, spansOf: T => Seq[Span])(
         it: Iterator[T]): Iterator[T] = lineageAcc match {
@@ -108,28 +134,27 @@ object Extract {
         }
     }
 
-    // --- common path: small docs, extracted in place, no further shuffle
-    val wholeOut: Dataset[DocOut] = clustered
+    // --- common path: SINGLE STAGE scan → extract → (sink); megas skipped
+    val wholeOut: Dataset[DocOut] = docs
       .mapPartitions { it =>
-        val small = it.flatMap { d =>
-          val units = ExtractKernel.plan(d, kstore, kconf)
-          if (units.length == 1) Iterator.single(
-            ExtractKernel.merge(d.doc_id, Seq(
-              ExtractKernel.extractUnit(units.head, kstore, kengine, kconf))))
-          else Iterator.empty
-        }
+        val mega = megaSet.value
+        val small = it
+          .filter(d => !mega.contains(d.doc_id))
+          .map(d => ExtractKernel.extractWhole(d, kstore, kengine, kconf))
         withLineage[DocOut]("common", _.doc_id, _.spans)(small)
       }
 
-    // --- skew path: mega docs → salted page-range units → spread shuffle →
-    //     extract → reassemble. Only the skewed tail pays this shuffle.
-    val saltedUnits: Dataset[WorkUnit] = clustered
-      .flatMap { d =>
-        val units = ExtractKernel.plan(d, kstore, kconf)
-        if (units.length > 1) units else Nil
-      }
+    if (megaIds.isEmpty) return wholeOut
 
-    val saltedOut: Dataset[DocOut] = saltedUnits
+    // --- skew path: re-read ONLY the mega docs (pushed-down IN filter →
+    //     parquet row-group skipping makes this scan near-free), split into
+    //     salted page-range units, spread, extract, reassemble.
+    val megaDocs: Dataset[Doc] = docs.toDF()
+      .filter(col("doc_id").isin(megaIds.map(x => x: Any): _*))
+      .as[Doc]
+
+    val saltedOut: Dataset[DocOut] = megaDocs
+      .flatMap(d => ExtractKernel.plan(d, kstore, kconf))
       .repartition(conf.numPartitions, col("doc_id"), col("salt"))
       .mapPartitions { it =>
         it.map(u => ExtractKernel.extractUnit(u, kstore, kengine, kconf))

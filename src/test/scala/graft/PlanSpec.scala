@@ -45,16 +45,38 @@ class PlanSpec extends AnyFunSuite {
     assert(anti.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
   }
 
-  test("extraction pipeline: both branches reuse ONE range-shuffle of the input") {
+  test("extraction common path is a single stage: zero shuffles source→sink") {
+    // corpus without mega docs → no skew branch at all
+    val spark2 = spark
+    import spark2.implicits._
+    val small = spark.createDataset((0 until 48).map(Fixtures.doc))
+    val ds = Extract.extractDS(spark, small, conf = ExtractConf(numPartitions = 4))
+    ds.collect()
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"common path must not shuffle:\n$plan")
+  }
+
+  test("skew branch: only mega docs shuffle, spread by (doc_id, salt)") {
     val ds = Extract.extractDS(spark, Fixtures.testDocsDS(spark),
       conf = ExtractConf(numPartitions = 4))
-    ds.collect() // drive THIS queryExecution so AQE finalizes its stages
+    ds.collect()
     val plan = ds.queryExecution.executedPlan.toString
-    // The union's two branches both consume repartitionByRange(doc_id); AQE
-    // must materialize the range shuffle once and feed the skew branch from
-    // a ReusedExchange of it (verified: ReusedExchange → rangepartitioning).
-    assert("ReusedExchange.*rangepartitioning".r.findFirstIn(plan).isDefined,
-      s"range exchange not reused:\n$plan")
+    // exactly the salted-branch exchanges: the (doc_id, salt) spread and
+    // the per-doc merge; NO full-corpus exchange
+    assert(plan.contains("hashpartitioning(doc_id"), s"no salted spread:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"unexpected full shuffle:\n$plan")
+  }
+
+  test("mega re-read pushes the doc_id IN filter to the parquet scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    Fixtures.testDocsDS(spark).toDF().write.mode("overwrite").parquet(s"$tmp/docs")
+    val docs = graft.sources.Io().readDocs(spark, s"$tmp/docs")
+    val ds = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))
+    ds.collect()
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(doc_id"),
+      s"mega IN-filter not pushed to scan:\n${plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")}")
   }
 
   test("flagship entry returns rows (driver smoke contract)") {
