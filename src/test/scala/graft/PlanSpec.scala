@@ -68,6 +68,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), s"unexpected full shuffle:\n$plan")
   }
 
+  test("skew probe prunes to doc_id + spans.{kind,media_ref} — text never read") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    Fixtures.testDocsDS(spark).toDF().write.mode("overwrite").parquet(s"$tmp/docs")
+    val docs = graft.sources.Io().readDocs(spark, s"$tmp/docs")
+    import org.apache.spark.sql.functions.col
+    val probe = docs.toDF()
+      .select(col("doc_id"), col("spans.kind"), col("spans.media_ref"))
+    val plan = probe.queryExecution.executedPlan.toString
+    val rs = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.contains("spans:array<struct<kind:string,media_ref:string>>"),
+      s"nested pruning failed — probe would read the text payload: $rs")
+    assert(!rs.contains("text"), s"text column not pruned: $rs")
+  }
+
   test("mega re-read pushes the doc_id IN filter to the parquet scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
     Fixtures.testDocsDS(spark).toDF().write.mode("overwrite").parquet(s"$tmp/docs")
