@@ -104,14 +104,28 @@ object Bench {
     // MEDIAN pair efficiency is reported — the global throttle cancels in
     // the ratio. Rates reported are the best observed per level.
     ensureCorpus(numDocs)
+    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "75").toInt
     var rateLow = 0.0
     var rateHigh = 0.0
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var r = 0
     while (r < rounds || (r < rounds + 2 && pairEffs.nonEmpty && {
         val s = pairEffs.sorted; s(s.length / 2) < 0.5 })) {
-      val lo = extractionRate(nLow, numDocs, warmup = true)
-      val hi = extractionRate(nHigh, numDocs, warmup = false)
+      // rest lets the credit pool refill before each pair; alternating the
+      // order within the pair cancels drain-order bias (whichever side runs
+      // first on fresh credits is advantaged — alternate so the median is
+      // unbiased)
+      if (r > 0) Thread.sleep(restS * 1000L)
+      val (lo, hi) =
+        if (r % 2 == 0) {
+          val l = extractionRate(nLow, numDocs, warmup = true)
+          val h = extractionRate(nHigh, numDocs, warmup = false)
+          (l, h)
+        } else {
+          val h = extractionRate(nHigh, numDocs, warmup = true)
+          val l = extractionRate(nLow, numDocs, warmup = false)
+          (l, h)
+        }
       rateLow = math.max(rateLow, lo)
       rateHigh = math.max(rateHigh, hi)
       pairEffs += (hi / lo) / (nHigh.toDouble / nLow)
