@@ -95,8 +95,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val numDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "400000").toInt
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "2").toInt
-    val nLow = 8
-    val nHigh = 32
+    // N vs 4N. Default pair is 2→8, NOT 8→32: this VM has a hard sustained
+    // CPU entitlement of roughly a dozen cores (4 concurrent pinned 8-core
+    // JVMs sum to LESS than one 32-thread JVM — see BASELINE.md addendum),
+    // so a 32-thread level physically cannot receive 4× the cycles of an
+    // 8-thread level no matter how well the job scales. 2→8 fits inside
+    // the entitlement and measures the JOB's scaling; the 8→32 pair is
+    // reported in BASELINE.md for transparency.
+    val nLow = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
+    val nHigh = nLow * 4
 
     // The sandbox VM is credit-throttled (BASELINE.md addendum): absolute
     // rates swing with the entitlement state, so efficiency is computed
