@@ -224,6 +224,14 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_minhash_fast" -> ((s, dir) => {
+      // prod-speed variant: xxhash64 permutations (codegen, no md5 cost);
+      // rows-only — DuckDB can't reproduce xxhash64
+      Dedup.minhashCandidates(augmented(s, dir), "doc_id", "text",
+          perm = Dedup.xxPerm)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_simhash" -> ((s, dir) => {
       // native codegen expression (graft.functions.SimHash64); rows-only
       // check (bit-level hash not expressible in DuckDB)

@@ -68,8 +68,19 @@ object Dedup {
     * groupBy, NO SHUFFLE: at 10^12 docs the signature stage is a pure map
     * over the scan. Docs with < n words get a null signature and drop out
     * of candidate generation (null never joins). */
+  /** Permutation hash: md5 hex (engine-portable → DuckDB oracle can
+    * reproduce signatures bit-for-bit). */
+  val md5Perm: (Column, Int) => Column =
+    (s, i) => md5(concat(lit(s"$i|"), s).cast("binary"))
+
+  /** Prod-speed permutation hash: xxhash64 (codegen'd, ~10× cheaper than
+    * md5; not DuckDB-reproducible → rows-only check). Cast to string so the
+    * min/least fold shape is shared with the md5 form. */
+  val xxPerm: (Column, Int) => Column =
+    (s, i) => lpad(hex(xxhash64(lit(i), s)), 16, "0")
+
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8): DataFrame = {
+      numPerms: Int = 8, perm: (Column, Int) => Column = md5Perm): DataFrame = {
     val sh = array_distinct(shingles(col(textCol)))
     // Single pass over the shingles: per shingle a struct of all perms'
     // md5s, folded elementwise with least(). 4.8× faster than building
@@ -79,7 +90,7 @@ object Dedup {
     // signature (matching array_min-on-empty), keeping sub-n-word docs out
     // of candidate generation.
     val hashes = transform(sh, s => struct((0 until numPerms).map(i =>
-      md5(concat(lit(s"$i|"), s).cast("binary")).as(s"m$i")): _*))
+      perm(s, i).as(s"m$i")): _*))
     val init = struct((0 until numPerms).map(i => lit("g").as(s"m$i")): _*)
     val folded = aggregate(hashes, init, (acc, x) =>
       struct((0 until numPerms).map(i => least(acc(s"m$i"), x(s"m$i")).as(s"m$i")): _*))
@@ -93,8 +104,9 @@ object Dedup {
   /** LSH candidate pairs: band b = md5(m_{2b} || m_{2b+1}); docs sharing any
     * band digest are candidates. Output (id_a < id_b, band). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, numPerms)
+      numPerms: Int = 8, rowsPerBand: Int = 2,
+      perm: (Column, Int) => Column = md5Perm): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numPerms, perm)
     val nBands = numPerms / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))

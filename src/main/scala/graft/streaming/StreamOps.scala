@@ -34,6 +34,18 @@ object StreamOps {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Event-time session windows (gap-based) via the built-in
+    * `session_window` — sessions close when no event arrives within the
+    * gap; late data beyond the watermark is dropped. */
+  def sessionWindows(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "15 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
+
   final case class UserSession(user_id: Long, n_events: Long,
       first_us: Long, last_us: Long)
 

@@ -83,4 +83,27 @@ class StreamSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("session windows: gap-separated events form two sessions") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val df = in.toDF().toDF("ts", "user_id")
+    val q = StreamOps.sessionWindows(df, gap = "5 minutes")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_win").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 09:$min%02d:00")
+      // user 7: burst at 09:00-09:02, second burst at 09:20 (gap > 5m)
+      in.addData((t(0), 7L), (t(2), 7L), (t(20), 7L))
+      q.processAllAvailable()
+      // advance watermark far enough to close both sessions
+      in.addData((t(59), 99L))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_win")
+        .filter(col("user_id") === 7L)
+        .select(col("n_events")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(sessions == Seq(1L, 2L), s"expected sessions of 2 and 1 events, got $sessions")
+    } finally q.stop()
+  }
 }
