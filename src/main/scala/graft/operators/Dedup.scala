@@ -61,13 +61,6 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature columns: perm i ↦ min over shingles of
-    * md5(i || '|' || shingle). Engine-portable (string min over hex).
-    *
-    * Computed per-ROW with `transform` + `array_min` — no explode, no
-    * groupBy, NO SHUFFLE: at 10^12 docs the signature stage is a pure map
-    * over the scan. Docs with < n words get a null signature and drop out
-    * of candidate generation (null never joins). */
   /** Permutation hash: md5 hex (engine-portable → DuckDB oracle can
     * reproduce signatures bit-for-bit). */
   val md5Perm: (Column, Int) => Column =
@@ -79,6 +72,11 @@ object Dedup {
   val xxPerm: (Column, Int) => Column =
     (s, i) => lpad(hex(xxhash64(lit(i), s)), 16, "0")
 
+  /** MinHash signature columns: perm i ↦ min over shingles of perm(s, i).
+    * Computed per-ROW (no explode, no groupBy, NO SHUFFLE): at 10^12 docs
+    * the signature stage is a pure map over the scan. Docs with < n words
+    * get a null signature and drop out of candidate generation (null never
+    * joins). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 8, perm: (Column, Int) => Column = md5Perm): DataFrame = {
     val sh = array_distinct(shingles(col(textCol)))
