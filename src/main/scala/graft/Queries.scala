@@ -146,6 +146,31 @@ object Queries {
         .limit(10)
     }),
 
+    "q6b_cube" -> ((s, dir) => {
+      li(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("<all>")).as("lstatus"), col("n_rows"))
+        .orderBy(col("rflag"), col("lstatus"))
+    }),
+
+    "q_explode_reassemble" -> ((s, dir) => {
+      // the span explode + order-preserving reassembly pattern (SURVEY §5.4):
+      // posexplode → per-doc regroup → sort by position → rebuild. The
+      // oracle computes the equivalent directly with list functions — the
+      // COMPARISON proves the distributed explode/reassemble preserves
+      // order exactly.
+      docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .groupBy(col("doc_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos").as("p"), upper(col("w")).as("u")))),
+            x => x.getField("u")), " ").as("rebuilt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- extraction-semantics columnar ops over documents ----------------
     "q_textclean" -> ((s, dir) => {
       // columnar sanitizer over a deterministically-dirtied text (the raw
@@ -368,6 +393,18 @@ object Queries {
         |  COUNT(*) AS n_rows, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+
+    "q6b_cube" ->
+      """SELECT COALESCE(l_returnflag, '<all>') AS rflag,
+        |  COALESCE(l_linestatus, '<all>') AS lstatus,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_explode_reassemble" ->
+      """SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), ' ') AS rebuilt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q7_sort_limit" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
