@@ -182,6 +182,14 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_key_lookup" -> ((s, dir) => {
+      // the reference's result-store key lookup (processed_results[file_id],
+      // main.py:1024-1027) as a pushed-down point query
+      docs(s, dir)
+        .filter(col("doc_id") === 42L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     "q_filter_nonempty" -> ((s, dir) => {
       // empty-page filter analogue (main.py:367)
       docs(s, dir)
@@ -431,6 +439,9 @@ object Queries {
       s"""SELECT doc_id, ${TextOps.cleanSql(
         "text || ' \"q\" \\path\\ ' || chr(233) || chr(20013) || chr(8203) || 'zw' || chr(8203) || chr(7) || 'ctl  end' || chr(9) || '.'")} AS cleaned
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_key_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42""",
 
     "q_filter_nonempty" ->
       """SELECT lang, count(*) AS n_docs
