@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no sbt `[info]` prefix):
+// the driver parses the LAST stdout line of `runMain graft.Bench` as JSON —
+// round 1's bench line was logger-prefixed and recorded `parsed: null`.
+run / outputStrategy := Some(StdoutOutput)
 // Spark suites share one JVM-wide SparkContext/session registry — suites
 // must not interleave (ExtensionsSpec swaps the default session).
 Test / parallelExecution := false

@@ -161,7 +161,11 @@ object Queries {
       // oracle computes the equivalent directly with list functions — the
       // COMPARISON proves the distributed explode/reassemble preserves
       // order exactly.
+      // NULL guard on BOTH sides (oracle below): posexplode drops a
+      // null-text doc's row entirely while list_transform(NULL) would keep
+      // it — a latent parity break if documents ever carried null text.
       docs(s, dir)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
         .groupBy(col("doc_id"))
         .agg(array_join(
@@ -209,9 +213,16 @@ object Queries {
     }),
 
     "q_lang_detect" -> ((s, dir) => {
-      // reference keyword scorer as a CASE expression (main.py:87-160)
+      // reference keyword scorer (main.py:87-160) via the NATIVE codegen
+      // expression — one static call per row. The equivalent 90-keyword
+      // CASE tree (TextOps.detectLangCol) blew the 64 KB codegen method
+      // limit (interpreted fallback, 6.5 s at sf0.1); it remains the
+      // template for the DuckDB oracle SQL below. Parity: the kernel's
+      // CJK/Arabic/Cyrillic=10 branches and the 3 extra language keyword
+      // lists score 0 on this ASCII corpus (ColumnarParitySpec asserts
+      // kernel == columnar on it).
       docs(s, dir)
-        .select(col("doc_id"), TextOps.detectLangCol(col("text")).as("detected"))
+        .select(col("doc_id"), graft.functions.functions.langDetect(col("text")).as("detected"))
         .orderBy(col("doc_id"))
     }),
 
@@ -285,18 +296,37 @@ object Queries {
     }),
 
     "ann_ivf" -> ((s, dir) => {
-      // IVF: deterministic k-means coarse quantizer + nprobe search
-      // (rows-only: float k-means is not DuckDB-reproducible)
+      // IVF: coarse quantizer (local Lloyd's on a deterministic sample) +
+      // nprobe search. Oracle-exact since round 2: the deterministic
+      // centroids are inlined as literals in the DuckDB SQL (dynamic
+      // oracle, see `oracleDynamic`).
       val e = emb(s, dir)
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8, iters = 2)
-      Similarity.ivfTopK(e, "vec_id", "embedding", queryVector(s, dir), 10, cents)
+      Similarity.ivfTopK(e, "vec_id", "embedding", queryVector(s, dir), 10,
+        ivfCentroids(s, dir))
+    }),
+
+    "ann_lsh_indexed" -> ((s, dir) => {
+      // same semantics as ann_lsh, over the MATERIALIZED SRP index
+      // (partitionBy(bucket) → the bucket predicate is directory-level
+      // partition pruning; asserted in PlanSpec). Shares ann_lsh's oracle.
+      val q = queryVector(s, dir)
+      Similarity.lshIndexedTopK(s, srpIndexPath(s, dir), "vec_id", "embedding", q, 10)
+    }),
+
+    "ann_ivf_indexed" -> ((s, dir) => {
+      // IVF over the materialized cluster-partitioned index: the probe
+      // filter prunes to nprobe/k of the files. Shares ann_ivf's oracle.
+      Similarity.ivfTopKIndexed(s, ivfIndexPath(s, dir), "vec_id", "embedding",
+        queryVector(s, dir), 10, ivfCentroids(s, dir))
     }),
 
     "dd_embed_near" -> ((s, dir) => {
-      // embedding near-dup candidates blocked by label (rows-only: float
-      // threshold boundary is not cross-engine exact)
-      Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", 0.4)
-        .select(col("id_a"), col("id_b"))
+      // embedding near-dup: SRP band candidates + exact-dot verify — the
+      // two-stage shape (round 1 used a label-blocked all-pairs self-join,
+      // O(B²) per block). Oracle-exact: plane signs are shared constants
+      // and the nearest pair sits 1.3e-4 from the 0.4 threshold (measured),
+      // far beyond cross-engine dot rounding.
+      Similarity.srpNearDupPairs(emb(s, dir), "vec_id", "embedding", theta = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -353,6 +383,48 @@ object Queries {
   private def queryVector(s: SparkSession, dir: String): Seq[Float] = {
     val row = emb(s, dir).orderBy(col("vec_id")).select(col("embedding")).head()
     row.getSeq[Float](0)
+  }
+
+  /** IVF coarse-quantizer centroids for a table dir — cached so the query,
+    * the indexed query, and the oracle generator all see the SAME numbers
+    * (they are deterministic anyway: local Lloyd's on a hash-ordered
+    * sample; the cache just avoids re-running the sampling scan). */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(dir, _ =>
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding", k = 8, iters = 2))
+
+  /** Materialized ANN indexes live under /tmp keyed by the source dir; built
+    * lazily (once) on first use. Index build is the amortized cost of the
+    * scale path — at 10^12 rows you write the index once and every query
+    * after prunes partitions instead of scanning. */
+  private def indexRoot(dir: String): String =
+    s"/tmp/graft_index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  private def ensureIndex(path: String)(build: => Unit): String = {
+    if (!new java.io.File(s"$path/_SUCCESS").exists) synchronized {
+      if (!new java.io.File(s"$path/_SUCCESS").exists) build
+    }
+    path
+  }
+  private def srpIndexPath(s: SparkSession, dir: String): String =
+    ensureIndex(s"${indexRoot(dir)}/srp") {
+      Similarity.buildSrpIndex(emb(s, dir), "vec_id", "embedding",
+        s"${indexRoot(dir)}/srp")
+    }
+  private def ivfIndexPath(s: SparkSession, dir: String): String =
+    ensureIndex(s"${indexRoot(dir)}/ivf") {
+      Similarity.buildIvfIndex(emb(s, dir), "vec_id", "embedding",
+        ivfCentroids(s, dir), s"${indexRoot(dir)}/ivf")
+    }
+
+  /** Oracles whose SQL depends on the DATA (deterministically): the IVF
+    * centroid literals. Verify dumps `oracle ++ oracleDynamic(spark, dir)`
+    * so the driver's DuckDB pass checks these too. */
+  def oracleDynamic(s: SparkSession, dir: String): Map[String, String] = {
+    val cents = ivfCentroids(s, dir)
+    val probed = Similarity.probedClusters(queryVector(s, dir), cents, nprobe = 2)
+    val sql = Similarity.ivfOracleSql(cents, probed, k = 10)
+    Map("ann_ivf" -> sql, "ann_ivf_indexed" -> sql)
   }
 
   // ----------------------------------------------------------------- oracle
@@ -412,7 +484,7 @@ object Queries {
     "q_explode_reassemble" ->
       """SELECT doc_id,
         |  array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), ' ') AS rebuilt
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "q7_sort_limit" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -523,10 +595,18 @@ object Queries {
         |  FROM embeddings)
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
-    "ann_lsh" -> annLshOracle
-    // dd_simhash, dd_embed_near, mm_decode_full: intentionally no oracle
-    // (not expressible / float-threshold-boundary) → driver records the
-    // weaker rows-only check.
+    "ann_lsh" -> annLshOracle,
+    "ann_lsh_indexed" -> annLshOracle, // same output, pruned physical plan
+
+    // SRP-banded near-dup: plane signs shared constants; 0.4 threshold has
+    // a measured 1.3e-4 margin to the nearest pair (cross-engine dot
+    // rounding is ~1 ulp).
+    "dd_embed_near" -> graft.operators.Similarity.srpNearDupOracleSql(theta = 0.4)
+
+    // dd_simhash, dd_minhash_fast, mm_decode_full: intentionally no oracle
+    // (xxhash64/bit-level hashes not expressible in DuckDB) → driver
+    // records the weaker rows-only check. ann_ivf / ann_ivf_indexed get
+    // DYNAMIC oracles (centroid literals) via `oracleDynamic`.
   )
 
   /** SRP-bucketed ANN oracle: the 4 hyperplane sign vectors are generated

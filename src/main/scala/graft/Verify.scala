@@ -34,7 +34,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Static oracles + the data-dependent ones (IVF centroid literals —
+    // deterministic given the table, computed here with the same code the
+    // queries used above, so query and oracle can't drift).
+    val oracles = SparkEntry.oracleSql ++ Queries.oracleDynamic(spark, sfDir)
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -74,8 +74,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object functions {
-  /** Column API for the native expression (Spark 4: Column ↔ Expression via
+  /** Column API for the native expressions (Spark 4: Column ↔ Expression via
     * the classic ExpressionUtils bridge). */
   def simhash64(c: Column): Column =
     bridge.column(SimHash64(bridge.expression(c)))
+
+  /** Kernel sanitizer as a codegen'd column (TextClean.clean). */
+  def qclean(c: Column): Column =
+    bridge.column(QClean(bridge.expression(c)))
+
+  /** Kernel language detector as a codegen'd column (LangDetect.detect) —
+    * ONE static call per row. The pure-builtin `TextOps.detectLangCol` form
+    * expands each of the 90 keyword scores into `greatest`, the zero-sum,
+    * and every WHEN, blowing the 64 KB codegen method limit (round-1 bench:
+    * 6.5 s + interpreted fallback vs < 1 s here); it remains the template
+    * for the DuckDB oracle SQL only. */
+  def langDetect(c: Column): Column =
+    bridge.column(LangDetectExpr(bridge.expression(c)))
+
+  /** difflib SequenceMatcher.ratio as a codegen'd column. */
+  def simRatio(a: Column, b: Column): Column =
+    bridge.column(SimRatio(bridge.expression(a), bridge.expression(b)))
 }
