@@ -76,8 +76,10 @@ object Extract {
     // --- skew probe: metadata-only page estimate per doc. Relational
     // column extraction so a parquet/Iceberg source reads ONLY doc_id +
     // spans.kind + spans.media_ref (nested schema pruning skips the text
-    // payload — the bulk of the bytes).
-    val megaIds: Array[String] = docs.toDF()
+    // payload — the bulk of the bytes). NOT collected: a Dataset, so the
+    // mega set's size never constrains the driver (round-1 verdict item 4 —
+    // the old collect + literal isin had a hard cliff).
+    val megaIdsDS: Dataset[String] = docs.toDF()
       .select(col("doc_id"), col("spans.kind").as("kinds"),
         col("spans.media_ref").as("refs"))
       .as[(String, Seq[String], Seq[String])]
@@ -90,13 +92,16 @@ object Extract {
         }.sum
         if (pages > kconf.skewPageThreshold) Some(id) else None
       }
-      .collect()
-    // The threshold is a tail bound; a huge mega set means it's set far too
-    // low for this corpus — fail loudly rather than broadcast gigabytes.
-    require(megaIds.length <= 10000000,
-      s"skewPageThreshold=${conf.skewPageThreshold} marks ${megaIds.length} docs as mega " +
-        "— raise the threshold (it should bound the extreme tail only)")
-    val megaSet = spark.sparkContext.broadcast(megaIds.toSet)
+    // Tiered by mega-set size (take(cap+1) scans only until cap+1 ids are
+    // found): the threshold is a TAIL bound, so the expected case is a tiny
+    // set → inline it as a pushed-down IN filter (parquet row-group
+    // skipping) + broadcast set. A degenerate threshold/corpus no longer
+    // hits a require() cliff: it falls back to semi/anti joins, which scale
+    // to any mega-set size (AQE picks broadcast vs shuffled by actual size).
+    val inlineIds: Array[String] = megaIdsDS.take(kconf.megaInlineCap + 1)
+    val useInline = inlineIds.length <= kconf.megaInlineCap
+    val megaSet = spark.sparkContext.broadcast(
+      if (useInline) inlineIds.toSet else Set.empty[String])
 
     def withLineage[T](path: String, docIdOf: T => String, spansOf: T => Seq[Span])(
         it: Iterator[T]): Iterator[T] = lineageAcc match {
@@ -134,24 +139,34 @@ object Extract {
         }
     }
 
-    // --- common path: SINGLE STAGE scan → extract → (sink); megas skipped
-    val wholeOut: Dataset[DocOut] = docs
+    // --- common path: SINGLE STAGE scan → extract → (sink); megas skipped.
+    // Inline tier: skip via the broadcast set inside the same stage (zero
+    // plan impact). Fallback tier: left_anti join against the mega-id
+    // Dataset (no driver materialization; broadcast by AQE when it fits).
+    val commonIn: Dataset[Doc] =
+      if (useInline) docs
+      else docs.join(megaIdsDS.toDF("doc_id"), Seq("doc_id"), "left_anti").as[Doc]
+    val wholeOut: Dataset[DocOut] = commonIn
       .mapPartitions { it =>
         val mega = megaSet.value
         val small = it
-          .filter(d => !mega.contains(d.doc_id))
+          .filter(d => mega.isEmpty || !mega.contains(d.doc_id))
           .map(d => ExtractKernel.extractWhole(d, kstore, kengine, kconf))
         withLineage[DocOut]("common", _.doc_id, _.spans)(small)
       }
 
-    if (megaIds.isEmpty) return wholeOut
+    if (inlineIds.isEmpty) return wholeOut
 
-    // --- skew path: re-read ONLY the mega docs (pushed-down IN filter →
-    //     parquet row-group skipping makes this scan near-free), split into
-    //     salted page-range units, spread, extract, reassemble.
-    val megaDocs: Dataset[Doc] = docs.toDF()
-      .filter(col("doc_id").isin(megaIds.map(x => x: Any): _*))
-      .as[Doc]
+    // --- skew path: re-read ONLY the mega docs — inline tier: pushed-down
+    //     IN filter (parquet row-group skipping makes this scan near-free);
+    //     fallback tier: left_semi join (scan not row-group-pruned, the
+    //     documented cost of a degenerate mega set). Then split into salted
+    //     page-range units, spread, extract, reassemble.
+    val megaDocs: Dataset[Doc] =
+      if (useInline)
+        docs.toDF().filter(col("doc_id").isin(inlineIds.map(x => x: Any): _*)).as[Doc]
+      else
+        docs.join(megaIdsDS.toDF("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
 
     val saltedOut: Dataset[DocOut] = megaDocs
       .flatMap(d => ExtractKernel.plan(d, kstore, kconf))
@@ -166,10 +181,30 @@ object Extract {
     wholeOut.union(saltedOut)
   }
 
-  /** Read → resume filter → extract → observed metrics → idempotent append
-    * + lineage. Sandbox storage is parquet; the prod path is the same code
-    * with `format("iceberg")` (SURVEY.md §2.1 S1/S7 — snapshot commit as the
-    * atomic checkpoint).
+  /** P4 size guard (main.py:51 `MAX_FILE_SIZE`; enforced at
+    * main.py:484-485,619-620,743-745): split docs whose span text payload
+    * exceeds `maxBytes` into a rejected side output `(doc_id, byte_est,
+    * reason)` BEFORE extraction — the reference 413s a too-large upload
+    * before OCR ever runs. Column-level: the estimate reads only
+    * `spans.text` lengths (stays inside the scan's codegen). The rejected
+    * branch is a second filtered pass over the input; at the expected ~0
+    * reject rate its scan is the cost of the guard's audit trail. */
+  def sizeSplit(spark: SparkSession, docs: Dataset[Doc], maxBytes: Long)
+      : (Dataset[Doc], org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val est = aggregate(col("spans"), lit(0L),
+      (acc, s) => acc + coalesce(octet_length(s.getField("text")).cast("long"), lit(0L)))
+    val withEst = docs.toDF().withColumn("byte_est", est)
+    val accepted = withEst.filter(col("byte_est") <= maxBytes).drop("byte_est").as[Doc]
+    val rejected = withEst.filter(col("byte_est") > maxBytes)
+      .select(col("doc_id"), col("byte_est"), lit("too_large").as("reason"))
+    (accepted, rejected)
+  }
+
+  /** Read → resume filter → size guard → extract → observed metrics →
+    * idempotent append + lineage + rejected side output. Sandbox storage is
+    * parquet; the prod path is the same code with `format("iceberg")`
+    * (SURVEY.md §2.1 S1/S7 — snapshot commit as the atomic checkpoint).
     */
   def run(
       spark: SparkSession,
@@ -188,10 +223,16 @@ object Extract {
       case None => in
     }
 
+    // P4 size guard: rejected docs go to an audit side output, never to the
+    // kernel (the reference rejects before OCR, main.py:484-485).
+    val (accepted, rejected) = sizeSplit(spark, todo, conf.maxDocBytes)
+    rejected.write.mode(SaveMode.Append)
+      .parquet(s"${outPath}_rejected/run_id=${conf.runId}")
+
     val acc = new CollectionAccumulator[LineageRow]
     spark.sparkContext.register(acc, "lineage")
 
-    val out = extractDS(spark, todo, store, engine, conf, Some(acc))
+    val out = extractDS(spark, accepted, store, engine, conf, Some(acc))
       .observe("extract_metrics",
         count(lit(1)).as("docs"),
         sum(size(col("spans"))).as("span_count"),

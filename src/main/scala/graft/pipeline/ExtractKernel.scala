@@ -16,7 +16,16 @@ final case class ExtractConf(
     numPartitions: Int = 32,
     skewPageThreshold: Int = 32,
     pagesPerSplit: Int = 16,
-    runId: String = "run-0")
+    runId: String = "run-0",
+    // Mega-id sets up to this size are inlined as a pushed-down IN filter
+    // (parquet row-group skipping) + broadcast set; beyond it the pipeline
+    // falls back to semi/anti joins (no driver-side materialization at
+    // all). ~10k keeps Catalyst IN-list planning cheap (round-1 advice:
+    // planning degrades orders of magnitude below the old 10M guard).
+    megaInlineCap: Int = 10000,
+    // P4 size guard (main.py:51 MAX_FILE_SIZE): docs whose span text
+    // payload exceeds this are rejected to a side output before extraction.
+    maxDocBytes: Long = 10L * 1024 * 1024)
 
 object ExtractConf {
   def passesFor(level: String): Int = level match {

@@ -6,8 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions — the "is this the plan you'd want at 100 TB"
   * checks: predicate pushdown reaches the parquet scan, column pruning
-  * shrinks ReadSchema, small dims broadcast, and the extraction pipeline's
-  * two branches REUSE one range-shuffle exchange instead of scanning twice.
+  * shrinks ReadSchema, small dims broadcast, the extraction common path is
+  * a SINGLE shuffle-free stage (the skew branch re-reads only the mega tail
+  * behind a pushed IN filter and spreads it salted), and the materialized
+  * ANN indexes prune partitions instead of scanning.
   */
 class PlanSpec extends AnyFunSuite {
 
@@ -95,5 +97,54 @@ class PlanSpec extends AnyFunSuite {
 
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() == Fixtures.testDocs.length)
+  }
+
+  test("materialized SRP index: bucket predicate is a PARTITION filter (pruned scan)") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-srpidx").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Similarity.buildSrpIndex(emb, "vec_id", "embedding", s"$tmp/srp")
+    val q = emb.orderBy(col("vec_id")).select(col("embedding")).head().getSeq[Float](0)
+    val df = Similarity.lshIndexedTopK(spark, s"$tmp/srp", "vec_id", "embedding", q, 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"bucket not a partition filter:\n$plan")
+    // and the data filter side must NOT re-filter bucket (pure pruning)
+    assert(df.count() > 0)
+  }
+
+  test("materialized IVF index: probed clusters prune partitions") {
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", cents, s"$tmp/ivf")
+    val q = emb.orderBy(col("vec_id")).select(col("embedding")).head().getSeq[Float](0)
+    val df = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf", "vec_id", "embedding",
+      q, 10, cents, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("c#") || pf.contains("(c"), s"cluster not a partition filter:\n$plan")
+    // indexed result == unindexed result (same semantics, pruned plan)
+    val unindexed = Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nprobe = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val indexed = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(indexed == unindexed)
+  }
+
+  test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
+    val docs = Fixtures.testDocsDS(spark)
+    val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))
+      .collect().map(d => d.doc_id -> d).toMap
+    // cap 0 forces the semi/anti-join tier even for this corpus's tiny mega set
+    val ds = Extract.extractDS(spark, docs,
+      conf = ExtractConf(numPartitions = 4, megaInlineCap = 0))
+    val fallback = ds.collect().map(d => d.doc_id -> d).toMap
+    assert(fallback == inline, "fallback tier must produce identical output")
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedFilters: [In(doc_id"),
+      "fallback tier must not inline a literal IN list")
+    assert(plan.contains("LeftSemi") || plan.contains("LeftAnti"),
+      s"fallback tier should plan semi/anti joins:\n$plan")
   }
 }

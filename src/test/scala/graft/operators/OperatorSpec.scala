@@ -114,6 +114,61 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SRP near-dup: finds identical/near vectors via band candidates, verifies exact dot") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.cos(i * 0.7).toFloat)
+    val norm = math.sqrt(base.map(x => x.toDouble * x).sum).toFloat
+    val unit = base.map(_ / norm)
+    val near = unit.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.001f else v }
+    val far = Array.tabulate(64)(i => (if (i % 2 == 0) 1f else -1f) / 8f)
+    val vecs = Seq((1L, unit), (2L, unit), (3L, near), (4L, far))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding", theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every band → always candidates → verified
+    assert(pairs.contains((1L, 2L)), s"identical pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      s"near pair missing: $pairs") // cos≈1 → all 48 plane signs agree
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"far vector must fail the exact-dot verify: $pairs")
+  }
+
+  test("size guard: over-budget docs routed to the rejected side output") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    val small = Doc("d1", Seq(Span("text", "hello world", "", 0)))
+    val big = Doc("d2", Seq(Span("text", "x" * 200, "", 0), Span("text", "y" * 200, "", 1)))
+    val ds = spark.createDataset(Seq(small, big))
+    val (ok, rejected) = graft.pipeline.Extract.sizeSplit(spark, ds, maxBytes = 100)
+    assert(ok.collect().map(_.doc_id).toSeq == Seq("d1"))
+    val rej = rejected.collect()
+    assert(rej.length == 1)
+    assert(rej.head.getString(0) == "d2")
+    assert(rej.head.getLong(1) == 400L)
+    assert(rej.head.getString(2) == "too_large")
+  }
+
+  test("UrlMeta: filename inference replicates the reference chain") {
+    import graft.sources.UrlMeta
+    // content-disposition wins, quotes stripped (main.py:265-269)
+    assert(UrlMeta.inferFilename(Some("""attachment; filename="report.pdf""""),
+      "http://x/y", None) == "report.pdf")
+    assert(UrlMeta.inferFilename(Some("attachment; filename='scan.jpg'"),
+      "http://x/y", None) == "scan.jpg")
+    // header without filename= → URL basename, query stripped (main.py:272)
+    assert(UrlMeta.inferFilename(Some("inline"), "http://a/b/doc.pdf?sig=1", None) == "doc.pdf")
+    // trailing slash → empty basename → document.pdf
+    assert(UrlMeta.inferFilename(None, "http://a/b/", None) == "document.pdf")
+    // no extension → content-type guess: pdf / image / default pdf (main.py:275-283)
+    assert(UrlMeta.inferFilename(None, "http://a/file", Some("application/pdf")) == "file.pdf")
+    assert(UrlMeta.inferFilename(None, "http://a/file", Some("image/png")) == "file.jpg")
+    assert(UrlMeta.inferFilename(None, "http://a/file", Some("text/plain")) == "file.pdf")
+    assert(UrlMeta.inferFilename(None, "http://a/file", None) == "file.pdf")
+    // kind dispatch is case-insensitive .pdf suffix (main.py:323)
+    assert(UrlMeta.kindOf("A.PDF") == "pdf")
+    assert(UrlMeta.kindOf("a.png") == "image")
+  }
+
   test("IVF: k-means converges on separated clusters; probe finds the right bucket") {
     import spark.implicits._
     // two well-separated clusters in 4-d
