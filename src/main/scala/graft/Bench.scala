@@ -166,7 +166,7 @@ object Bench {
     val numDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "400000").toInt
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
     val rounds2 = sys.env.getOrElse("GRAFT_BENCH_ROUNDS_8_32", "2").toInt
-    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "45").toInt
+    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "60").toInt
     val nLow = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
 
     // --- scaling (fault-isolated: a failed phase must not swallow the JSON)
@@ -175,6 +175,12 @@ object Bench {
     var scalingErr: Option[String] = None
     try {
       ensureCorpus(numDocs)
+      // initial rest: the bench usually runs right after a heavy phase
+      // (driver correctness pass / corpus generation); on this credit-
+      // throttled VM a drained pool pushes even the 8-core level past the
+      // momentary entitlement, deflating the RATIO (measured: 0.72 median
+      // right after sustained load vs 0.89-0.93 rested). Let it refill.
+      Thread.sleep(restS * 1000L)
       primary = Some(measurePair(nLow, numDocs, rounds, restS))
       if (rounds2 > 0) {
         Thread.sleep(restS * 1000L)
@@ -190,6 +196,13 @@ object Bench {
     val timings: Seq[(String, Double)] =
       try {
         val spark = session(cpus, cpus)
+        // session warmup so the first timed query doesn't absorb one-time
+        // session costs (~6 s measured: scheduler spin-up, codegen infra,
+        // noop-sink + parquet reader init) — round-1's alphabetically-first
+        // query (ann_ivf) looked 10.7 s when its steady-state is ~1 s
+        try spark.read.parquet(s"$sfDir/nation.parquet")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         try Queries.all.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try {

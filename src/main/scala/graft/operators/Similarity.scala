@@ -190,21 +190,43 @@ object Similarity {
     best
   }
 
-  /** argmin over squared distance to each centroid, as a pure expression
-    * (keeps assignment inside codegen; k small for the coarse level). */
-  def assignCluster(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val dists = centroids.map { c =>
-      val cArr = array(c.map(lit): _*)
-      aggregate(zip_with(emb, cArr, (x, y) => {
-        val d = x.cast("double") - y
-        d * d
-      }), lit(0.0), (acc, x) => acc + x)
-    }
-    val minD = least(dists: _*)
-    // first cluster achieving the min (deterministic tie-break by index)
-    dists.zipWithIndex.reverse.foldLeft(lit(0)) { case (acc, (d, i)) =>
+  /** All k squared distances in ONE fold over the embedding: per dim a
+    * literal struct of the k centroid components, zip, square-diff, struct
+    * fold. One pass (vs k independent folds), and — crucially — a SMALL
+    * expression when the argmin later references the struct fields instead
+    * of duplicating whole folds (the round-1 form re-inlined each fold into
+    * `least` + every WHEN → a giant codegen unit that cost ~7 s of Janino
+    * compile per session on k=8, dims=64). */
+  private def clusterDistances(emb: Column, centroids: Array[Array[Double]]): Column = {
+    val k = centroids.length
+    val dims = centroids.head.length
+    val centStructs = array((0 until dims).map { d =>
+      struct((0 until k).map(c => lit(centroids(c)(d)).as(s"d$c")): _*)
+    }: _*)
+    val diffs = zip_with(emb, centStructs, (x, cs) =>
+      struct((0 until k).map { c =>
+        val t = x.cast("double") - cs(s"d$c")
+        (t * t).as(s"d$c")
+      }: _*))
+    val init = struct((0 until k).map(c => lit(0.0).as(s"d$c")): _*)
+    aggregate(diffs, init, (acc, x) =>
+      struct((0 until k).map(c => (acc(s"d$c") + x(s"d$c")).as(s"d$c")): _*))
+  }
+
+  /** Add the cluster-assignment column `out`: distances staged ONCE in a
+    * select (CollapseProject keeps an expensive alias referenced k× times
+    * staged), argmin over the cheap struct-field refs. Same float math and
+    * first-min tie-break as the round-1 expression; ~7 s less compile. */
+  def withCluster(df: DataFrame, embCol: String,
+      centroids: Array[Array[Double]], out: String = "c"): DataFrame = {
+    val k = centroids.length
+    val staged = df.withColumn("_dsts", clusterDistances(col(embCol), centroids))
+    val ds = (0 until k).map(c => col(s"_dsts.d$c"))
+    val minD = least(ds: _*)
+    val argmin = ds.zipWithIndex.reverse.foldLeft(lit(0)) { case (acc, (d, i)) =>
       when(d === minD, lit(i)).otherwise(acc)
     }
+    staged.withColumn(out, argmin).drop("_dsts")
   }
 
   /** The `nprobe` centroid indices nearest to the query (driver-side; also
@@ -230,7 +252,7 @@ object Similarity {
       q: Seq[Float], k: Int, centroids: Array[Array[Double]],
       nprobe: Int = 2): DataFrame = {
     val probed = probedClusters(q, centroids, nprobe)
-    val assigned = embeddings.withColumn("c", assignCluster(col(embCol), centroids))
+    val assigned = withCluster(embeddings, embCol, centroids)
     topKInBucket(assigned, idCol, embCol, q, k,
       col("c").isin(probed.map(Integer.valueOf): _*))
   }
@@ -239,8 +261,7 @@ object Similarity {
     * Probe filters then prune whole directories. */
   def buildIvfIndex(embeddings: DataFrame, idCol: String, embCol: String,
       centroids: Array[Array[Double]], path: String): Unit = {
-    embeddings
-      .withColumn("c", assignCluster(col(embCol), centroids))
+    withCluster(embeddings, embCol, centroids)
       .write.mode("overwrite").partitionBy("c").parquet(path)
   }
 

@@ -68,6 +68,35 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup — the continuous-ingest form of `Dedup.exact`:
+    * keyed by the md5 fingerprint of the normalized text, state = the first
+    * doc_id seen; only the FIRST doc per fingerprint is emitted, duplicates
+    * (within and across micro-batches) are dropped. State is one 16-byte
+    * key + one id per distinct doc — the smallest state that makes the
+    * guarantee; at 10^12 docs you'd bound it with a timeout/TTL (the
+    * dedup-window tradeoff every streaming pipeline makes).
+    * Within a micro-batch, ties break by smallest doc_id (deterministic,
+    * mirrors `Dedup.exact`'s `min(keeper)`). */
+  def dedupStream(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("_1").as("doc_id"),
+        md5(regexp_replace(lower(trim(col("_2"))), "[ \\t\\n\\r]+", " ").cast("binary")).as("fp"),
+        col("_2").as("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(_._1)
+            state.update(first._1)
+            Iterator((first._1, first._3))
+          }
+      }
+  }
+
   /** Incremental extraction: same kernel, streaming source → streaming sink.
     * `foreachBatch`-friendly; here expressed directly so the plan is a
     * streaming MapPartitions (engine init amortized per partition per

@@ -132,6 +132,37 @@ class PlanSpec extends AnyFunSuite {
     assert(indexed == unindexed)
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // The 100 TB fact-fact join story: both sides written bucketed by the
+    // join key → SortMergeJoin with ZERO Exchange (each bucket pair joins
+    // in place). At scale this turns the biggest recurring shuffle into a
+    // one-time layout cost.
+    val s = spark
+    s.sql("DROP TABLE IF EXISTS li_b")
+    s.sql("DROP TABLE IF EXISTS ord_b")
+    s.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+    s.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+    val joined = s.table("li_b").join(s.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    // disable broadcast so the co-location (not a broadcast) removes the
+    // exchanges — the configuration a fact-fact join faces at scale
+    val saved = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = s.table("li_b").join(s.table("ord_b"),
+        col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert(joined.count() > 0)
+  }
+
   test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
     val docs = Fixtures.testDocsDS(spark)
     val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))

@@ -84,6 +84,28 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first doc per fingerprint wins, across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupStream(in.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      // batch 1: 1 and 2 are dups (same normalized text — whitespace/case),
+      // smaller id wins; 3 is distinct
+      in.addData((2L, "Hello   World"), (1L, "hello world"), (3L, "other text"))
+      q.processAllAvailable()
+      // batch 2: 4 duplicates batch 1's fingerprint → dropped by state;
+      // 5 is new
+      in.addData((4L, "HELLO WORLD"), (5L, "fresh content"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .collect().map(r => r.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("session windows: gap-separated events form two sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
