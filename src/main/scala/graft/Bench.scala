@@ -164,9 +164,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val numDocs = sys.env.getOrElse("GRAFT_BENCH_DOCS", "400000").toInt
+    // 3 primary pairs (true median needs ≥3); ONE 8→32 diagnostic pair
+    // (it measures the hypervisor entitlement cap, not the job — see
+    // BASELINE.md; one pair documents it without stretching total wall
+    // past a prudent ~9 min envelope for the driver-run bench).
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
-    val rounds2 = sys.env.getOrElse("GRAFT_BENCH_ROUNDS_8_32", "2").toInt
-    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "60").toInt
+    val rounds2 = sys.env.getOrElse("GRAFT_BENCH_ROUNDS_8_32", "1").toInt
+    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "50").toInt
     val nLow = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
 
     // --- scaling (fault-isolated: a failed phase must not swallow the JSON)

@@ -278,23 +278,45 @@ object Similarity {
 
   // ------------------------------------------------------------- near-dup
 
-  /** SRP band-key structs for candidate generation: `bands` keys per
-    * vector, band b's key = the 6 (bitsPerBand) hyperplane sign bits of
-    * planes [b*bits, (b+1)*bits). Two vectors are candidates iff they share
-    * a (band, key) — the minhash-LSH band construction transplanted to
-    * embeddings. */
-  def srpBandKeys(emb: Column, bands: Int, bitsPerBand: Int, dims: Int): Column =
-    array((0 until bands).map { b =>
+  /** All `p` hyperplane dot products in ONE fold over the embedding (per
+    * dim a literal struct of the p plane components) — the same
+    * single-pass staging as `clusterDistances`: p independent folds would
+    * cost minutes of Janino compile at p=48 and re-scan the array p times.
+    * Per-plane accumulation order is dim order, identical to independent
+    * folds (bit-exact). */
+  private def planeDots(emb: Column, p: Int, dims: Int): Column = {
+    val planeStructs = array((0 until dims).map { d =>
+      struct((0 until p).map(pl => lit(planeSign(pl, d)).as(s"p$pl")): _*)
+    }: _*)
+    val terms = zip_with(emb, planeStructs, (x, ps) =>
+      struct((0 until p).map(pl => (x.cast("double") * ps(s"p$pl")).as(s"p$pl")): _*))
+    val init = struct((0 until p).map(pl => lit(0.0).as(s"p$pl")): _*)
+    aggregate(terms, init, (acc, t) =>
+      struct((0 until p).map(pl => (acc(s"p$pl") + t(s"p$pl")).as(s"p$pl")): _*))
+  }
+
+  /** (id, band, key) rows for candidate generation: band b's key = the
+    * `bitsPerBand` hyperplane sign bits of planes [b*bits, (b+1)*bits).
+    * Two vectors are candidates iff they share a (band, key) — the
+    * minhash-LSH band construction transplanted to embeddings. The dot
+    * fold is staged ONCE in a select; band keys are cheap sign tests over
+    * its struct fields. */
+  def srpBandKeyRows(embeddings: DataFrame, idCol: String, embCol: String,
+      bands: Int, bitsPerBand: Int, dims: Int): DataFrame = {
+    val p = bands * bitsPerBand
+    val staged = embeddings
+      .select(col(idCol), planeDots(col(embCol), p, dims).as("_dots"))
+    val bandStructs = (0 until bands).map { b =>
       val bits = (0 until bitsPerBand).map { k =>
         val plane = b * bitsPerBand + k
-        val planeVec = array((0 until dims).map(d => lit(planeSign(plane, d))): _*)
-        val dot = aggregate(
-          zip_with(emb, planeVec, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1 << k)).otherwise(lit(0))
+        when(col(s"_dots.p$plane") >= 0, lit(1 << k)).otherwise(lit(0))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
-    }: _*)
+    }
+    staged
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
 
   /** Embedding near-duplicate pairs above a dot-product threshold, the
     * scale-correct two-stage shape (mirrors minhash→jaccard):
@@ -311,10 +333,7 @@ object Similarity {
     * with the DuckDB oracle (`srpNearDupOracleSql`). */
   def srpNearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
       theta: Double, bands: Int = 8, bitsPerBand: Int = 6, dims: Int = 64): DataFrame = {
-    val keyed = embeddings
-      .select(col(idCol),
-        explode(srpBandKeys(col(embCol), bands, bitsPerBand, dims)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val keyed = srpBandKeyRows(embeddings, idCol, embCol, bands, bitsPerBand, dims)
       .repartition(col("band"), col("key"))
     val a = keyed.as("a")
     val b = keyed.as("b")

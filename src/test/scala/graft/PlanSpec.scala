@@ -140,6 +140,14 @@ class PlanSpec extends AnyFunSuite {
     val s = spark
     s.sql("DROP TABLE IF EXISTS li_b")
     s.sql("DROP TABLE IF EXISTS ord_b")
+    // the in-memory catalog forgets tables between JVMs but their warehouse
+    // directories persist — remove the locations or saveAsTable throws
+    // LOCATION_ALREADY_EXISTS on the next run
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("li_b", "ord_b")) {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     s.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"))
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
