@@ -183,8 +183,10 @@ object Bench {
       // (driver correctness pass / corpus generation); on this credit-
       // throttled VM a drained pool pushes even the 8-core level past the
       // momentary entitlement, deflating the RATIO (measured: 0.72 median
-      // right after sustained load vs 0.89-0.93 rested). Let it refill.
-      Thread.sleep(restS * 1000L)
+      // right after sustained load vs 0.89-0.93 rested; a 1M-doc corpus
+      // generation immediately before a pair measured 0.16). Let it refill
+      // — longer than the in-pair rests, it protects every pair after it.
+      Thread.sleep(sys.env.getOrElse("GRAFT_BENCH_WARM_REST_S", "90").toInt * 1000L)
       primary = Some(measurePair(nLow, numDocs, rounds, restS))
       if (rounds2 > 0) {
         Thread.sleep(restS * 1000L)

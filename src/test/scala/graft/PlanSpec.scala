@@ -171,6 +171,42 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime half of the skew story: the PIPELINE pre-splits known
+    // mega-docs (salting), and AQE re-plans unforeseen join skew — one hot
+    // key owning ~99% of a shuffle partition gets split into parallel
+    // sub-partitions instead of serializing one task
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16384",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val pad = "x" * 64
+      val hot = (0 until 100000).map(i => (1L, s"p$i$pad"))
+      val rest = (0 until 2000).map(i => ((i % 50) + 2L, s"p$i"))
+      val left = s.createDataset(hot ++ rest).toDF("k", "v")
+      val right = s.createDataset((1L to 60L).map(k => (k, s"dim$k"))).toDF("k", "d")
+      val j = left.join(right, "k")
+      // execute THIS Dataset's own queryExecution so its AdaptiveSparkPlan
+      // finalizes (df.write — and even df.count(), which builds a new
+      // aggregate Dataset — run a SEPARATE QueryExecution; inspecting
+      // j.queryExecution afterwards would show isFinalPlan=false)
+      assert(j.collect().length == 102000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark/split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
     val docs = Fixtures.testDocsDS(spark)
     val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))
