@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -129,6 +129,40 @@ object Queries {
         .intersect(s.read.parquet(p(dir, "supplier"))
           .select(col("s_nationkey").cast("long").as("nationkey")))
         .orderBy(col("nationkey"))
+    }),
+
+    "q8b_except" -> ((s, dir) => {
+      // set difference: order statuses that never appear as a line status
+      // (TPC-H: {F,O,P} \ {F,O} = {P})
+      ord(s, dir).select(col("o_orderstatus").as("status"))
+        .except(li(s, dir).select(col("l_linestatus").as("status")))
+        .orderBy(col("status"))
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: each click matched to the user's most recent view at or
+      // before the click (operators/AsOf — one key shuffle + window, never
+      // a time-range cross join). Oracle: DuckDB's native ASOF JOIN.
+      val e = s.read.parquet(p(dir, "events"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      AsOf.asofJoin(clicks, views, "user_id", "ts", "event_id",
+          leftOut = "click_id", rightOut = "view_id")
+        .orderBy(col("click_id"))
+    }),
+
+    "q_json_extract" -> ((s, dir) => {
+      // queryable-JSON surface: extract a field from the props JSON column,
+      // aggregate it (value-exact: extracted integer, not the raw JSON
+      // string whose formatting differs across engines)
+      s.read.parquet(p(dir, "events"))
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
     }),
 
     "q9_events_daily" -> ((s, dir) => {
@@ -496,6 +530,24 @@ object Queries {
         |INTERSECT
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
         |ORDER BY 1""".stripMargin,
+
+    "q8b_except" ->
+      """SELECT o_orderstatus AS status FROM orders
+        |EXCEPT
+        |SELECT l_linestatus AS status FROM lineitem
+        |ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts
+        |ORDER BY click_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q9_events_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

@@ -133,6 +133,22 @@ class OperatorSpec extends AnyFunSuite {
       s"far vector must fail the exact-dot verify: $pairs")
   }
 
+  test("as-of join: latest right at-or-before left; same-ts matches; unmatched dropped") {
+    import spark.implicits._
+    // left (clicks): id, key, t        right (views): id, key, t
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 1L, 5L), (103L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((200L, 1L, 8L), (201L, 1L, 10L), (202L, 1L, 15L), (203L, 9L, 1L))
+      .toDF("event_id", "user_id", "ts")
+    val out = graft.operators.AsOf.asofJoin(left, right, "user_id", "ts", "event_id",
+        "click_id", "view_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(100L) == 201L, "same-timestamp right row must match (<=)")
+    assert(out(101L) == 202L, "latest preceding right wins")
+    assert(!out.contains(102L), "left before any right must be dropped (inner)")
+    assert(!out.contains(103L), "key with no right side must be dropped")
+  }
+
   test("size guard: over-budget docs routed to the rejected side output") {
     import spark.implicits._
     import graft.model.{Doc, Span}
