@@ -171,6 +171,20 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() > 0)
   }
 
+  test("as-of join plans as ONE key shuffle + window — no range cross join") {
+    val df = Queries.all("q_asof_join")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the naive formulation would show a Join with a ts range condition
+    // (nested-loop / cartesian per key); the operator must instead be
+    // union → single hashpartitioning(user_id) exchange → Window
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a cross join:\n$plan")
+    assert(plan.contains("Window"), s"expected windowed as-of:\n$plan")
+    val keyExchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(keyExchanges == 1, s"expected exactly one key shuffle, got $keyExchanges:\n$plan")
+  }
+
   test("AQE splits a skewed join partition at runtime (skew=true)") {
     // the runtime half of the skew story: the PIPELINE pre-splits known
     // mega-docs (salting), and AQE re-plans unforeseen join skew — one hot
