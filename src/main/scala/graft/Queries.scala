@@ -347,6 +347,15 @@ object Queries {
       Similarity.lshIndexedTopK(s, srpIndexPath(s, dir), "vec_id", "embedding", q, 10)
     }),
 
+    "ann_lsh_probe" -> ((s, dir) => {
+      // multi-probe LSH: Hamming-1 neighbor buckets widen the candidate
+      // set (recall dial) while bucket IN (...) stays a partition filter
+      // over the materialized index — 5 of 16 partitions read at p=4
+      val q = queryVector(s, dir)
+      Similarity.lshIndexedTopKMultiProbe(s, srpIndexPath(s, dir),
+        "vec_id", "embedding", q, 10, radius = 1)
+    }),
+
     "ann_ivf_indexed" -> ((s, dir) => {
       // IVF over the materialized cluster-partitioned index: the probe
       // filter prunes to nprobe/k of the files. Shares ann_ivf's oracle.
@@ -647,8 +656,9 @@ object Queries {
         |  FROM embeddings)
         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
-    "ann_lsh" -> annLshOracle,
-    "ann_lsh_indexed" -> annLshOracle, // same output, pruned physical plan
+    "ann_lsh" -> annLshOracle(),
+    "ann_lsh_indexed" -> annLshOracle(), // same output, pruned physical plan
+    "ann_lsh_probe" -> annLshOracle(radius = 1),
 
     // SRP-banded near-dup: plane signs shared constants; 0.4 threshold has
     // a measured 1.3e-4 margin to the nearest pair (cross-engine dot
@@ -663,8 +673,9 @@ object Queries {
 
   /** SRP-bucketed ANN oracle: the 4 hyperplane sign vectors are generated
     * from the SAME `Similarity.planeSign` the Spark side uses (64 dims in
-    * the driver's embeddings tables). */
-  private def annLshOracle: String = {
+    * the driver's embeddings tables). `radius` > 0 = multi-probe (buckets
+    * within that Hamming distance of the query bucket). */
+  private def annLshOracle(radius: Int = 0): String = {
     val dims = 64
     def planeLit(p: Int): String =
       (0 until dims).map(d => graft.operators.Similarity.planeSign(p, d))
@@ -672,6 +683,9 @@ object Queries {
     val bucketExpr = (0 until 4).map { p =>
       s"(CASE WHEN list_dot_product(e, ${planeLit(p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+    val pred =
+      if (radius == 0) "bucket = (SELECT bucket FROM qb)"
+      else s"bit_count(xor(CAST(bucket AS BIGINT), CAST((SELECT bucket FROM qb) AS BIGINT))) <= $radius"
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
        |           FROM embeddings ORDER BY vec_id LIMIT 1),
        |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -680,7 +694,7 @@ object Queries {
        |SELECT rank, vec_id FROM (
        |  SELECT vec_id, ROW_NUMBER() OVER (
        |    ORDER BY list_dot_product(e, (SELECT qe FROM q)) DESC, vec_id) AS rank
-       |  FROM bb WHERE bucket = (SELECT bucket FROM qb))
+       |  FROM bb WHERE $pred)
        |WHERE rank <= 10 ORDER BY rank""".stripMargin
   }
 }
