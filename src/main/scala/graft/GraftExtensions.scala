@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{LangDetectExpr, QClean, SimHash64, SimRatio}
+import graft.functions.{DotF, LangDetectExpr, QClean, SimHash64, SimRatio}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point — registers the engine's native
@@ -32,5 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("sim_ratio"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.SimRatio", "sim_ratio"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SimRatio(args(0), args(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.DotF", "dot_f"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => DotF(args(0), args(1))))
   }
 }

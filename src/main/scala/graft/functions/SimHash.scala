@@ -95,4 +95,8 @@ object functions {
   /** difflib SequenceMatcher.ratio as a codegen'd column. */
   def simRatio(a: Column, b: Column): Column =
     bridge.column(SimRatio(bridge.expression(a), bridge.expression(b)))
+
+  /** array<float> dot product as a codegen'd primitive loop (DotF). */
+  def dotf(a: Column, b: Column): Column =
+    bridge.column(DotF(bridge.expression(a), bridge.expression(b)))
 }

@@ -364,9 +364,10 @@ object Similarity {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
     val vecs = embeddings.select(col(idCol), col(embCol))
-    val dot = aggregate(
-      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    // native primitive-loop dot (graft.functions.DotF): bit-identical to
+    // the aggregate(zip_with(...)) fold (same casts + order) but no boxed
+    // intermediate array per verified pair
+    val dot = graft.functions.functions.dotf(col("ea"), col("eb"))
     cand
       .join(vecs.select(col(idCol).as("id_a"), col(embCol).as("ea")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(embCol).as("eb")), "id_b")
