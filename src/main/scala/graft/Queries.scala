@@ -153,6 +153,30 @@ object Queries {
         .orderBy(col("click_id"))
     }),
 
+    "q_pivot" -> ((s, dir) => {
+      // pivot: daily event counts, one column per event type. The type list
+      // is pinned (deterministic columns; an unpinned pivot would need an
+      // extra distinct-collect job at scale to discover columns).
+      s.read.parquet(p(dir, "events"))
+        .groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day"))
+    }),
+
+    "q_distinct_users" -> ((s, dir) => {
+      // exact distinct aggregation (two-phase shuffle). At 10^12 rows the
+      // scale path is approx_count_distinct (HLL sketch, one pass, no
+      // per-key state) — kept out of the oracle set because sketch
+      // estimates are engine-specific by construction.
+      s.read.parquet(p(dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // queryable-JSON surface: extract a field from the props JSON column,
       // aggregate it (value-exact: extracted integer, not the raw JSON
@@ -552,6 +576,20 @@ object Queries {
         |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
+
+    "q_pivot" -> {
+      val types = Seq("click", "view", "purchase", "error", "signup")
+      val cols = types.map(t => s"COUNT(*) FILTER (WHERE event_type = '$t') AS \"$t\"")
+        .mkString(",\n  ")
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         |  $cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
