@@ -149,6 +149,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(!out.contains(103L), "key with no right side must be dropped")
   }
 
+  test("as-of join matches a brute-force reference on hash-generated data with ts ties") {
+    import spark.implicits._
+    import graft.core.Hash64
+    // deterministic corpus with duplicate timestamps (ts % 16 forces ties
+    // within and across sides) — the events table has none, so this pins
+    // the tie rules the hand case can't reach at volume
+    val lefts = (0 until 120).map(i =>
+      (1000L + i, Hash64.pick(s"ak$i", 3).toLong, Hash64.pick(s"at$i", 16).toLong))
+    val rights = (0 until 80).map(i =>
+      (2000L + i, Hash64.pick(s"bk$i", 3).toLong, Hash64.pick(s"bt$i", 16).toLong))
+    val got = graft.operators.AsOf.asofJoin(
+        lefts.toDF("event_id", "user_id", "ts"),
+        rights.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id", "lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: per left row, the right row with max (ts, id) among
+    // rights with same key and ts <= left ts
+    val expected = lefts.flatMap { case (lid, k, t) =>
+      val cands = rights.filter { case (_, rk, rt) => rk == k && rt <= t }
+      if (cands.isEmpty) None
+      else Some(lid -> cands.maxBy { case (rid, _, rt) => (rt, rid) }._1)
+    }.toMap
+    assert(got == expected,
+      s"diff: got-only=${(got.toSet -- expected.toSet).take(3)} exp-only=${(expected.toSet -- got.toSet).take(3)}")
+  }
+
   test("size guard: over-budget docs routed to the rejected side output") {
     import spark.implicits._
     import graft.model.{Doc, Span}
