@@ -126,6 +126,7 @@ object Bench {
     * counts use the middle; even counts average the two middles (a 2-pair
     * upper-middle is really the max — round-1 verdict item 6a). */
   private def measurePair(nLow: Int, numDocs: Int, rounds: Int, restS: Int): Scaling = {
+    require(rounds >= 1, s"measurePair needs rounds >= 1, got $rounds")
     val nHigh = nLow * 4
     var rateLow = 0.0
     var rateHigh = 0.0
@@ -151,6 +152,20 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     Scaling(nLow, nHigh, rateLow, rateHigh, median, pairEffs.toSeq)
+  }
+
+  /** Full JSON string escape (backslash, quote, all control chars) — the
+    * contract line must stay parseable no matter what an exception message
+    * contains (a bare replace of quotes only would emit invalid escapes
+    * like \d from regex fragments in Spark errors). */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
   private def scalingJson(s: Scaling): String = {
@@ -205,10 +220,15 @@ object Bench {
         // session warmup so the first timed query doesn't absorb one-time
         // session costs (~6 s measured: scheduler spin-up, codegen infra,
         // noop-sink + parquet reader init) — round-1's alphabetically-first
-        // query (ann_ivf) looked 10.7 s when its steady-state is ~1 s
-        try spark.read.parquet(s"$sfDir/nation.parquet")
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        // query (ann_ivf) looked 10.7 s when its steady-state is ~1 s.
+        // ANN index construction is also hoisted here: it's a one-time
+        // layout cost, and leaving it inside the first *_indexed timing
+        // would measure the build, not the pruned-scan query.
+        try {
+          spark.read.parquet(s"$sfDir/nation.parquet")
+            .write.format("noop").mode("overwrite").save()
+          Queries.prepareIndexes(spark, sfDir)
+        } catch { case _: Throwable => () }
         try Queries.all.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try {
@@ -232,7 +252,7 @@ object Bench {
       s""""value":${f"${head.rateHigh}%.1f"},"unit":"docs/sec",""" +
       s""""scaling":${primary.map(p => scalingJson(p).dropRight(1) + s""","num_docs":$numDocs}""").getOrElse("null")},""" +
       s""""scaling_8_32":${contract.map(scalingJson).getOrElse("null")},""" +
-      scalingErr.map(e => s""""scaling_error":"${e.replace("\"", "'").replace("\n", " ")}",""").getOrElse("") +
+      scalingErr.map(e => s""""scaling_error":"${jsonEscape(e)}",""").getOrElse("") +
       s""""queries_total_sec":${f"$totalSec%.2f"},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // side artifact for debugging/redundancy; stdout line is the contract

@@ -11,19 +11,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * boxing, no intermediate array). The built-in composition
   * `aggregate(zip_with(a, b, (x, y) -> x*y), 0d, +)` is semantically
   * identical but materializes a boxed intermediate array per row and
-  * evaluates the lambda through interpreted HOF plumbing — measured ~3×
+  * evaluates the lambda through interpreted HOF plumbing — measurably
   * slower on the near-dup verify stage (260k pairs × 64 dims at sf0.1).
   *
-  * Float parity: accumulates `double += (double)a(i) * (double)b(i)` in
-  * element order — bit-identical to the HOF fold it replaces (same casts,
-  * same order), so DuckDB-oracle margins are unchanged.
+  * Parity with the HOF fold it replaces (exactly, including nulls):
+  *  - equal-length, null-free arrays: accumulates
+  *    `double += (double)a(i) * (double)b(i)` in element order —
+  *    bit-identical (same casts, same order), so DuckDB-oracle margins
+  *    are unchanged;
+  *  - length mismatch (zip_with pads the shorter side with null) or any
+  *    null element: result is NULL, as the fold's `acc + null` would be.
   */
 object DotKernel {
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Boxed so null can signal the zip_with-null cases; JIT unboxes the
+    * happy path. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
       i += 1
     }
@@ -33,6 +41,7 @@ object DotKernel {
 
 case class DotF(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -48,7 +57,17 @@ case class DotF(left: Expression, right: Expression) extends BinaryExpression {
     DotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotKernel.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotResult")
+      s"""
+         |java.lang.Double $r = graft.functions.DotKernel.dot($a, $b);
+         |if ($r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $r.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotF =
     copy(l, r)

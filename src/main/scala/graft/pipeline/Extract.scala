@@ -224,9 +224,12 @@ object Extract {
     }
 
     // P4 size guard: rejected docs go to an audit side output, never to the
-    // kernel (the reference rejects before OCR, main.py:484-485).
+    // kernel (the reference rejects before OCR, main.py:484-485). Overwrite
+    // the run_id partition (not append): rejected docs never reach the
+    // committed output, so a resumed run re-detects them — appending would
+    // duplicate the audit rows on every retry of the same run.
     val (accepted, rejected) = sizeSplit(spark, todo, conf.maxDocBytes)
-    rejected.write.mode(SaveMode.Append)
+    rejected.write.mode(SaveMode.Overwrite)
       .parquet(s"${outPath}_rejected/run_id=${conf.runId}")
 
     val acc = new CollectionAccumulator[LineageRow]

@@ -25,7 +25,8 @@ final case class ExtractConf(
     megaInlineCap: Int = 10000,
     // P4 size guard (main.py:51 MAX_FILE_SIZE): docs whose span text
     // payload exceeds this are rejected to a side output before extraction.
-    maxDocBytes: Long = 10L * 1024 * 1024)
+    // Single source of truth shared with the URL tier (UrlMeta).
+    maxDocBytes: Long = graft.sources.UrlMeta.MaxFileSize)
 
 object ExtractConf {
   def passesFor(level: String): Int = level match {

@@ -81,7 +81,7 @@ object StreamOps {
     import docs.sparkSession.implicits._
     docs
       .select(col("_1").as("doc_id"),
-        md5(regexp_replace(lower(trim(col("_2"))), "[ \\t\\n\\r]+", " ").cast("binary")).as("fp"),
+        graft.operators.TextOps.fingerprintCol(col("_2")).as("fp"),
         col("_2").as("text"))
       .as[(Long, String, String)]
       .groupByKey(_._2)

@@ -133,6 +133,26 @@ class OperatorSpec extends AnyFunSuite {
       s"far vector must fail the exact-dot verify: $pairs")
   }
 
+  test("dot_f == aggregate(zip_with(...)) fold, including null/length edge semantics") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array[java.lang.Float](1.0f, 2.0f, 3.0f), Array[java.lang.Float](4.0f, 5.0f, 6.0f)),
+      (2L, Array[java.lang.Float](1.5f, -2.5f), Array[java.lang.Float](0.5f, 2.0f)),
+      (3L, Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)), // length mismatch
+      (4L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 1.0f)) // null element
+    ).toDF("id", "a", "b")
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val out = rows.select(col("id"),
+        graft.functions.functions.dotf(col("a"), col("b")).as("native"), hof.as("fold"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    for ((id, (n, f)) <- out)
+      assert(n == f, s"row $id: native=$n fold=$f must agree (incl. nulls)")
+    assert(out(1L)._1.contains(32.0))
+    assert(out(3L)._1.isEmpty && out(4L)._1.isEmpty)
+  }
+
   test("as-of join: latest right at-or-before left; same-ts matches; unmatched dropped") {
     import spark.implicits._
     // left (clicks): id, key, t        right (views): id, key, t
