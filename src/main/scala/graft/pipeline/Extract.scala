@@ -192,8 +192,13 @@ object Extract {
   def sizeSplit(spark: SparkSession, docs: Dataset[Doc], maxBytes: Long)
       : (Dataset[Doc], org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
-    val est = aggregate(col("spans"), lit(0L),
-      (acc, s) => acc + coalesce(octet_length(s.getField("text")).cast("long"), lit(0L)))
+    // outer coalesce: aggregate(NULL spans, ...) is NULL, and a NULL
+    // predicate would drop the doc from BOTH branches (silent data loss,
+    // NullSafetySpec corpus class) — null spans estimate as 0 bytes
+    val est = coalesce(
+      aggregate(col("spans"), lit(0L),
+        (acc, s) => acc + coalesce(octet_length(s.getField("text")).cast("long"), lit(0L))),
+      lit(0L))
     val withEst = docs.toDF().withColumn("byte_est", est)
     val accepted = withEst.filter(col("byte_est") <= maxBytes).drop("byte_est").as[Doc]
     val rejected = withEst.filter(col("byte_est") > maxBytes)

@@ -200,9 +200,10 @@ class OperatorSpec extends AnyFunSuite {
     import graft.model.{Doc, Span}
     val small = Doc("d1", Seq(Span("text", "hello world", "", 0)))
     val big = Doc("d2", Seq(Span("text", "x" * 200, "", 0), Span("text", "y" * 200, "", 1)))
-    val ds = spark.createDataset(Seq(small, big))
+    val nullSpans = Doc("d3", null) // must pass the guard (0 bytes), not vanish
+    val ds = spark.createDataset(Seq(small, big, nullSpans))
     val (ok, rejected) = graft.pipeline.Extract.sizeSplit(spark, ds, maxBytes = 100)
-    assert(ok.collect().map(_.doc_id).toSeq == Seq("d1"))
+    assert(ok.collect().map(_.doc_id).toSet == Set("d1", "d3"))
     val rej = rejected.collect()
     assert(rej.length == 1)
     assert(rej.head.getString(0) == "d2")
