@@ -99,6 +99,20 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() == Fixtures.testDocs.length)
   }
 
+  test("native expressions stay inside whole-stage codegen (no fallback)") {
+    // the round-1 lesson inverted: lang_detect/qclean/simhash64/dot_f are
+    // UnaryExpression/BinaryExpression with doGenCode — their project
+    // stages must carry the WholeStageCodegen marker `*(n)`, and the plan
+    // must not show an interpreted-project fallback
+    for (q <- Seq("q_lang_detect", "dd_simhash", "q_textclean")) {
+      val df = Queries.all(q)(spark, sf)
+      df.collect() // finalize the AdaptiveSparkPlan — codegen stages only
+      //             appear in the executed plan (same trap as the AQE test)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), s"$q lost whole-stage codegen:\n$plan")
+    }
+  }
+
   test("materialized SRP index: bucket predicate is a PARTITION filter (pruned scan)") {
     import graft.operators.Similarity
     val tmp = java.nio.file.Files.createTempDirectory("graft-srpidx").toString

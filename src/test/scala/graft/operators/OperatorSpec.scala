@@ -211,6 +211,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(rej.head.getString(2) == "too_large")
   }
 
+  test("size guard partitions the corpus exactly: accepted ∪ rejected == input, disjoint") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    // hash-sized docs straddling the cap, plus null-spans
+    val docs = (0 until 64).map { i =>
+      val n = graft.core.Hash64.pick(s"sz$i", 120)
+      if (i % 13 == 7) Doc(s"d$i", null)
+      else Doc(s"d$i", Seq(Span("text", "x" * n, "", 0)))
+    }
+    val ds = spark.createDataset(docs)
+    val (ok, rej) = graft.pipeline.Extract.sizeSplit(spark, ds, maxBytes = 60)
+    val okIds = ok.collect().map(_.doc_id).toSet
+    val rejIds = rej.collect().map(_.getString(0)).toSet
+    assert(okIds.intersect(rejIds).isEmpty, "branches must be disjoint")
+    assert(okIds ++ rejIds == docs.map(_.doc_id).toSet, "no doc may vanish")
+    assert(rejIds.nonEmpty && okIds.nonEmpty, "test corpus must straddle the cap")
+  }
+
   test("UrlMeta: filename inference replicates the reference chain") {
     import graft.sources.UrlMeta
     // content-disposition wins, quotes stripped (main.py:265-269)
