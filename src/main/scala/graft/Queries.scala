@@ -327,10 +327,12 @@ object Queries {
     }),
 
     "dd_minhash_fast" -> ((s, dir) => {
-      // prod-speed variant: xxhash64 permutations (codegen, no md5 cost);
-      // rows-only — DuckDB can't reproduce xxhash64
-      Dedup.minhashCandidates(augmented(s, dir), "doc_id", "text",
-          perm = Dedup.xxPerm)
+      // prod-speed variant: NATIVE one-pass minhash_sigs expression (the
+      // earlier xxhash64-HOF variant ran no faster than md5 — the shingle
+      // HOF machinery, not the hash, was the cost). Rows-only — the 64-bit
+      // base hash is not DuckDB-reproducible; dd_minhash_lsh is the
+      // oracle-exact twin with the same plan shape.
+      Dedup.minhashCandidatesNative(augmented(s, dir), "doc_id", "text")
         .orderBy(col("id_a"), col("id_b"))
     }),
 

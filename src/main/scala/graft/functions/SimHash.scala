@@ -99,4 +99,8 @@ object functions {
   /** array<float> dot product as a codegen'd primitive loop (DotF). */
   def dotf(a: Column, b: Column): Column =
     bridge.column(DotF(bridge.expression(a), bridge.expression(b)))
+
+  /** one-pass MinHash signature array (prod-speed variant). */
+  def minhashSigs(c: Column, numPerms: Int): Column =
+    bridge.column(MinHashSigs(bridge.expression(c), numPerms))
 }

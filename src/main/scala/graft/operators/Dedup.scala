@@ -128,6 +128,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Prod-speed LSH candidates: signatures from the NATIVE one-pass
+    * `minhash_sigs` expression (graft.functions.MinHashSigs — single scan,
+    * seed-mixed permutations, no per-shingle string/md5 machinery), bands
+    * joined on their two raw signature longs (no digest hash needed).
+    * Rows-only vs the oracle by design: the 64-bit base hash is not
+    * reproducible in DuckDB — `minhashCandidates` (md5) is the
+    * parity-checked twin with the identical plan shape. */
+  def minhashCandidatesNative(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand == 2, "native band join built for rowsPerBand=2")
+    val sig = docs.select(col(idCol),
+      graft.functions.functions.minhashSigs(col(textCol), numPerms).as("sig"))
+    val nBands = numPerms / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        col("sig")(b * rowsPerBand).as("m0"),
+        col("sig")(b * rowsPerBand + 1).as("m1"))
+    }
+    val exploded = sig
+      .select(col(idCol), explode(array(bands: _*)).as("bd"))
+      .select(col(idCol), col("bd.band"), col("bd.m0"), col("bd.m1"))
+      .repartition(col("band"), col("m0"), col("m1"))
+    val a = exploded.as("a")
+    val b2 = exploded.as("b")
+    a.join(b2,
+        col("a.band") === col("b.band") && col("a.m0") === col("b.m0") &&
+          col("a.m1") === col("b.m1") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
   /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the
     * scale-correct two-stage dedup (candidates from `minhashCandidates`,
     * exact |A∩B| via `array_intersect` on the per-doc shingle sets). Exact

@@ -39,6 +39,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(!cand.contains((1L, 4L)) && !cand.contains((2L, 4L)), s"false pair: $cand")
   }
 
+  test("native minhash candidates: exact dups always pair, unrelated never; null for <3 words") {
+    import spark.implicits._
+    val cand = Dedup.minhashCandidatesNative(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)), s"exact dup pair missing: $cand")
+    assert(!cand.contains((1L, 4L)) && !cand.contains((2L, 4L)), s"false pair: $cand")
+    // <3 words → null signature → never a candidate
+    assert(!cand.exists(p => p._1 == 5L || p._2 == 5L), s"short doc must drop: $cand")
+    val sig = corpus.select(graft.functions.functions.minhashSigs(col("text"), 8).as("s"))
+      .collect().map(r => Option(r.get(0)))
+    assert(sig.count(_.isEmpty) == 1, "exactly the 2-word doc has a null signature")
+  }
+
   test("jaccard verification: identical docs = full overlap, near-dups partial") {
     val rows = Dedup.ngramJaccardVerified(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
