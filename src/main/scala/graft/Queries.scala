@@ -336,6 +336,16 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dd_jaccard_fast" -> ((s, dir) => {
+      // end-to-end native two-stage fuzzy dedup: one-pass signatures →
+      // banded candidates → sorted-merge Jaccard verify. Rows-only (native
+      // 64-bit hashes not DuckDB-reproducible); dd_ngram_jaccard is the
+      // oracle-exact twin of the same two-stage shape.
+      Dedup.jaccardVerifiedNative(augmented(s, dir), "doc_id", "text")
+        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "dd_simhash" -> ((s, dir) => {
       // native codegen expression (graft.functions.SimHash64); rows-only
       // check (bit-level hash not expressible in DuckDB)

@@ -103,4 +103,12 @@ object functions {
   /** one-pass MinHash signature array (prod-speed variant). */
   def minhashSigs(c: Column, numPerms: Int): Column =
     bridge.column(MinHashSigs(bridge.expression(c), numPerms))
+
+  /** sorted distinct shingle-hash set (prod-speed Jaccard verify). */
+  def shingleSet(c: Column): Column =
+    bridge.column(ShingleSet(bridge.expression(c)))
+
+  /** |A∩B| of two sorted long arrays. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
 }

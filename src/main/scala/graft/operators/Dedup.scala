@@ -159,6 +159,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Prod-speed two-stage fuzzy dedup, end-to-end native: candidates from
+    * `minhashCandidatesNative`, verification = exact |A∩B| over sorted
+    * shingle-HASH sets via a linear merge (`sorted_intersect_count`) — no
+    * shingle strings, no `array_intersect` set building per pair. Hash
+    * collisions (64-bit) are vanishingly rarer than the MinHash banding's
+    * own false-negative rate. Rows-only vs the oracle (same reason as the
+    * signature path); `ngramJaccardVerified` is the oracle-exact twin. */
+  def jaccardVerifiedNative(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val cand = minhashCandidatesNative(docs, idCol, textCol, numPerms, rowsPerBand)
+    val sets = docs.select(col(idCol),
+      graft.functions.functions.shingleSet(col(textCol)).as("shl"))
+    cand
+      .join(sets.select(col(idCol).as("id_a"), col("shl").as("shl_a")), "id_a")
+      .join(sets.select(col(idCol).as("id_b"), col("shl").as("shl_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.sortedIntersectCount(col("shl_a"), col("shl_b")).as("n_common"),
+        size(col("shl_a")).cast("long").as("n_a"),
+        size(col("shl_b")).cast("long").as("n_b"))
+  }
+
   /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the
     * scale-correct two-stage dedup (candidates from `minhashCandidates`,
     * exact |A∩B| via `array_intersect` on the per-doc shingle sets). Exact

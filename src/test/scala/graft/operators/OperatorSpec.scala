@@ -52,6 +52,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(sig.count(_.isEmpty) == 1, "exactly the 2-word doc has a null signature")
   }
 
+  test("native jaccard verify agrees with the HOF twin on overlap counts") {
+    import spark.implicits._
+    val native = Dedup.jaccardVerifiedNative(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val hof = Dedup.ngramJaccardVerified(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // candidate sets may differ (different hash families) but any pair both
+    // surface must carry IDENTICAL exact counts — the verify math is the
+    // same set intersection, just hashed vs string shingles
+    val common = native.keySet.intersect(hof.keySet)
+    assert(common.contains((1L, 2L)), s"exact dup pair missing from ${native.keySet} / ${hof.keySet}")
+    for (k <- common)
+      assert(native(k) == hof(k), s"pair $k: native=${native(k)} hof=${hof(k)}")
+  }
+
   test("jaccard verification: identical docs = full overlap, near-dups partial") {
     val rows = Dedup.ngramJaccardVerified(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
