@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotF, LangDetectExpr, QClean, SimHash64, SimRatio}
+import graft.functions.{DotF, LangDetectExpr, MinHashSigs, QClean, ShingleSet, SimHash64, SimRatio, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** SparkSessionExtensions entry point — registers the engine's native
@@ -36,5 +36,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.DotF", "dot_f"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => DotF(args(0), args(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.MinHashSigs", "minhash_sigs"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => MinHashSigs(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_set"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.ShingleSet", "shingle_set"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => ShingleSet(args.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.SortedIntersectCount", "sorted_intersect_count"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => SortedIntersectCount(args(0), args(1))))
   }
 }
