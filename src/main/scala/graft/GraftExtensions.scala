@@ -39,8 +39,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sigs"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.MinHashSigs", "minhash_sigs"),
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => MinHashSigs(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // numPerms must be a foldable integer — a clean analysis error beats
+        // the opaque ClassCastException a bare eval().asInstanceOf would
+        // throw on a column reference / BIGINT / string second argument
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case Literal(v: Short, ShortType) => v.toInt
+          case Literal(v: Byte, ByteType) => v.toInt
+          case other => throw new org.apache.spark.sql.AnalysisException(
+            "INVALID_PARAMETER_VALUE.INTEGER",
+            Map("parameter" -> "numPerms", "functionName" -> "minhash_sigs",
+              "invalidValue" -> other.sql))
+        }
+        MinHashSigs(args(0), n)
+      }))
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_set"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.functions.ShingleSet", "shingle_set"),

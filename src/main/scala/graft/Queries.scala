@@ -600,9 +600,15 @@ object Queries {
         |ORDER BY 1""".stripMargin,
 
     "q_asof_join" ->
+      // The view side is pre-reduced to ONE row per (user_id, ts) keeping
+      // max(event_id) — the Spark operator's tie rule (AsOf.scala: largest
+      // right id wins at equal timestamps). DuckDB's ASOF JOIN leaves the
+      // pick among right rows tied on (key, ts) unspecified, so without
+      // this reduction parity would rest on the fixture having no ties.
       """SELECT c.event_id AS click_id, v.event_id AS view_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |ASOF JOIN (SELECT max(event_id) AS event_id, user_id, ts
+        |           FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts
         |ORDER BY click_id""".stripMargin,
 

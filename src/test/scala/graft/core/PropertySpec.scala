@@ -60,7 +60,8 @@ object KernelProps extends Properties("kernel") {
   property("two-pass confidence is the single pair ratio × 100") =
     forAll(asciiText, asciiText) { (a, b) =>
       // NB: SequenceMatcher.ratio is NOT symmetric (verified against CPython:
-      // ratio('Y  ',' <NUL> Y') = 0.2857 but reversed = 0.5714) — the
+      // ratio("Y  ", " \x00 Y") = 0.2857 but reversed = 0.5714; the NUL
+      // in the second string is written as an escape (plain-ASCII file)) - the
       // pipeline always compares passes in pass order, which this pins.
       Confidence.pairwise(Seq(a, b)) == DiffLib.ratio(a, b) * 100.0
     }
