@@ -48,6 +48,11 @@ object Bench {
     s
   }
 
+  /** Rested-host 8-core probe reference (docs/s, best-of-4 on the 40k-doc
+    * warm corpus) — measured on this sandbox host class rested (24.5–27.6k
+    * band; drained reads 17–20k); see the gate scaladoc. */
+  private val ProbeRefDefault = "26000"
+
   private val benchDir = sys.env.getOrElse("GRAFT_BENCH_DIR", "/tmp/graft_bench")
   private var mainCorpus: String = _
   private var warmCorpus: String = _
@@ -78,7 +83,11 @@ object Bench {
     * count (see BenchWorker). Falls back to unpinned if taskset is absent.
     * Child stderr goes to a FILE (Spark logs + any stack trace): an
     * undrained stderr pipe fills at ~64 KB and deadlocks `waitFor`. */
-  private def extractionRate(cores: Int, numDocs: Int): Double = {
+  private def extractionRate(cores: Int, numDocs: Int): Double =
+    extractionRate(cores, warmCorpus, mainCorpus, numDocs)
+
+  private def extractionRate(cores: Int, warmPath: String, mainPath: String,
+      numDocs: Int, reps: Int = 1): Double = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
     val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")
@@ -97,7 +106,8 @@ object Bench {
         Seq("/usr/bin/taskset", "-c", s"0-${cores - 1}")
       else Nil
     val cmd = pin ++ Seq(javaBin) ++ jvmFlags ++ Seq("-cp", cp,
-      "graft.BenchWorker", cores.toString, warmCorpus, mainCorpus, numDocs.toString)
+      "graft.BenchWorker", cores.toString, warmPath, mainPath, numDocs.toString,
+      reps.toString)
     val errFile = new java.io.File(s"$benchDir/worker_${cores}_stderr.log")
     val out = new StringBuilder
     val proc = new ProcessBuilder(cmd: _*)
@@ -116,6 +126,44 @@ object Bench {
       nLow: Int, nHigh: Int, rateLow: Double, rateHigh: Double,
       efficiency: Double, pairEffs: Seq[Double])
 
+  /** Entitlement calibration gate (round-2 verdict item 1). The driver runs
+    * this bench right after its heavy correctness phase, exactly when the
+    * credit-throttled VM's CPU pool is drained — the recorded 2→8 efficiency
+    * then measures the refilling pool, not the job (BENCH_r02 recorded
+    * 0.712 vs 0.75–0.82 for the same code on a rested host). Before each
+    * primary pair, a SHORT 8-core probe (warm corpus, ~1 s measured region,
+    * ~8 core-seconds of burn) is compared against a stored rested-host
+    * reference rate; while the probe reads below `frac`·ref the gate rests
+    * and re-probes. A global deadline bounds the total wait — the bench must
+    * stay inside its ~10 min envelope no matter what the host does, so on
+    * deadline expiry measurement proceeds ungated (the probe trace is
+    * reported in the JSON either way). */
+  private final class Gate(ref: Double, frac: Double, restS: Int,
+      deadlineNs: Long, probeDocs: Int) {
+    val probeRates = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var rests = 0
+    def await(): Unit = {
+      if (ref <= 0) return
+      var r = probe()
+      while (r < ref * frac && System.nanoTime() < deadlineNs) {
+        rests += 1
+        System.err.println(f"[bench] gate: probe $r%.0f < ${ref * frac}%.0f docs/s, resting ${restS}s")
+        Thread.sleep(restS * 1000L)
+        r = probe()
+      }
+    }
+    private def probe(): Double = {
+      // best-of-4 in one JVM: a single short run is ±25% scheduler noise;
+      // the max over 4 is a stable entitlement signal (measured)
+      val r = extractionRate(8, warmCorpus, warmCorpus, probeDocs, reps = 4)
+      probeRates += r
+      r
+    }
+    def json: String =
+      s"""{"probe_ref":${f"$ref%.1f"},"threshold_frac":$frac,""" +
+        s""""rests":$rests,"probe_rates":${probeRates.map(r => f"$r%.1f").mkString("[", ",", "]")}}"""
+  }
+
   /** Measure one N→4N pair `rounds` times (unconditionally). The sandbox VM
     * is credit-throttled (BASELINE.md addendum): absolute rates swing with
     * the entitlement state, so efficiency is computed per PAIR of adjacent
@@ -125,7 +173,8 @@ object Bench {
     * rates reported are the best observed per level. True median: odd pair
     * counts use the middle; even counts average the two middles (a 2-pair
     * upper-middle is really the max — round-1 verdict item 6a). */
-  private def measurePair(nLow: Int, numDocs: Int, rounds: Int, restS: Int): Scaling = {
+  private def measurePair(nLow: Int, numDocs: Int, rounds: Int, restS: Int,
+      gate: Option[Gate] = None): Scaling = {
     require(rounds >= 1, s"measurePair needs rounds >= 1, got $rounds")
     val nHigh = nLow * 4
     var rateLow = 0.0
@@ -133,6 +182,7 @@ object Bench {
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (r <- 0 until rounds) {
       if (r > 0) Thread.sleep(restS * 1000L)
+      gate.foreach(_.await()) // only start a pair on a healthy credit pool
       val (lo, hi) =
         if (r % 2 == 0) {
           val l = extractionRate(nLow, numDocs)
@@ -185,24 +235,40 @@ object Bench {
     // past a prudent ~9 min envelope for the driver-run bench).
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
     val rounds2 = sys.env.getOrElse("GRAFT_BENCH_ROUNDS_8_32", "1").toInt
-    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "50").toInt
+    // in-pair rest is shorter than round 2's 50 s: the gate (below) now owns
+    // pool health — a fixed rest only has to cover the light inter-pair lull
+    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "30").toInt
     val nLow = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
+    // stored rested-host reference for the 8-core probe (docs/s on the warm
+    // corpus). Measured on this host class rested; env-overridable when the
+    // host changes. 0 disables gating.
+    val probeRef = sys.env.getOrElse("GRAFT_BENCH_PROBE_REF", ProbeRefDefault).toDouble
+    val probeFrac = sys.env.getOrElse("GRAFT_BENCH_PROBE_FRAC", "0.82").toDouble
+    val gateRestS = sys.env.getOrElse("GRAFT_BENCH_GATE_REST_S", "40").toInt
+    // global cap on ALL gating (rests + probes): typical healthy-host cost
+    // is one ~12 s probe per pair; the cap keeps the worst case (pool never
+    // recovers) inside the bench's ~10 min envelope with the query phase
+    val gateDeadlineS = sys.env.getOrElse("GRAFT_BENCH_GATE_DEADLINE_S", "240").toInt
 
     // --- scaling (fault-isolated: a failed phase must not swallow the JSON)
     var primary: Option[Scaling] = None
     var contract: Option[Scaling] = None
     var scalingErr: Option[String] = None
+    var gateOpt: Option[Gate] = None
     try {
       ensureCorpus(numDocs)
-      // initial rest: the bench usually runs right after a heavy phase
-      // (driver correctness pass / corpus generation); on this credit-
-      // throttled VM a drained pool pushes even the 8-core level past the
-      // momentary entitlement, deflating the RATIO (measured: 0.72 median
-      // right after sustained load vs 0.89-0.93 rested; a 1M-doc corpus
-      // generation immediately before a pair measured 0.16). Let it refill
-      // — longer than the in-pair rests, it protects every pair after it.
-      Thread.sleep(sys.env.getOrElse("GRAFT_BENCH_WARM_REST_S", "90").toInt * 1000L)
-      primary = Some(measurePair(nLow, numDocs, rounds, restS))
+      // The gate replaces round 2's fixed 90 s pre-rest: the driver benches
+      // right after its heavy correctness phase, when the credit pool is
+      // drained (measured: 0.72 median efficiency right after sustained
+      // load vs 0.89-0.93 rested; a 1M-doc corpus generation immediately
+      // before a pair measured 0.16). Rather than hoping one fixed rest is
+      // enough, probe-and-rest until the pool demonstrably supports the
+      // 8-core side, before EVERY primary pair.
+      val gate = new Gate(probeRef, probeFrac, gateRestS,
+        System.nanoTime() + gateDeadlineS * 1000000000L,
+        math.max(numDocs / 10, 1000))
+      gateOpt = Some(gate)
+      primary = Some(measurePair(nLow, numDocs, rounds, restS, Some(gate)))
       if (rounds2 > 0) {
         Thread.sleep(restS * 1000L)
         contract = Some(measurePair(8, numDocs, rounds2, restS))
@@ -213,9 +279,11 @@ object Bench {
         System.err.println(s"[bench] scaling phase failed: ${e.getMessage}")
     }
 
-    // --- per-query timings
+    // --- per-query timings (GRAFT_BENCH_SKIP_QUERIES=1: dev knob for
+    // iterating on the scaling phase without paying the ~2 min query pass)
     val timings: Seq[(String, Double)] =
-      try {
+      if (sys.env.get("GRAFT_BENCH_SKIP_QUERIES").contains("1")) Nil
+      else try {
         val spark = session(cpus, cpus)
         // session warmup so the first timed query doesn't absorb one-time
         // session costs (~6 s measured: scheduler spin-up, codegen infra,
@@ -229,13 +297,24 @@ object Bench {
             .write.format("noop").mode("overwrite").save()
           Queries.prepareIndexes(spark, sfDir)
         } catch { case _: Throwable => () }
+        // Each query gets ONE untimed warm execution, then the timed run —
+        // the reported number is steady-state throughput, not Janino
+        // compile + one-time per-plan setup (round-2 verdict item 4:
+        // ann_ivf read 5.9 s in the driver bench vs ~1 s steady because the
+        // cold run paid codegen compile + quantizer sample training; in
+        // prod those amortize over every execution of the query).
         try Queries.all.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val ok = try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
-          } catch { case e: Throwable =>
+          def exec(): Unit =
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val warmOk = try { exec(); true }
+          catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
+          val t0 = System.nanoTime()
+          val ok = warmOk && (try { exec(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          })
           name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
         } finally spark.stop()
       } catch { case e: Throwable =>
@@ -252,6 +331,7 @@ object Bench {
       s""""value":${f"${head.rateHigh}%.1f"},"unit":"docs/sec",""" +
       s""""scaling":${primary.map(p => scalingJson(p).dropRight(1) + s""","num_docs":$numDocs}""").getOrElse("null")},""" +
       s""""scaling_8_32":${contract.map(scalingJson).getOrElse("null")},""" +
+      s""""calibration":${gateOpt.map(_.json).getOrElse("null")},""" +
       scalingErr.map(e => s""""scaling_error":"${jsonEscape(e)}",""").getOrElse("") +
       s""""queries_total_sec":${f"$totalSec%.2f"},""" +
       s""""queries":$qs,"sf":"$sfDir"}"""

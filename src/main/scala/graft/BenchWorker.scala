@@ -22,7 +22,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
-    val Array(coresS, warmPath, mainPath, numDocsS) = args
+    val (coresS, warmPath, mainPath, numDocsS, reps) = args match {
+      case Array(c, w, m, n) => (c, w, m, n, 1)
+      case Array(c, w, m, n, r) => (c, w, m, n, r.toInt)
+    }
     val cores = coresS.toInt
     val numDocs = numDocsS.toInt
     val spark = SparkSession.builder()
@@ -40,9 +43,14 @@ object BenchWorker {
       Extract.extractDS(spark, Io().readDocs(spark, path), conf = conf)
         .write.format("noop").mode("overwrite").save()
     run(warmPath) // cold-JVM JIT warmup (every child is a fresh JVM)
-    val t0 = System.nanoTime()
-    run(mainPath)
-    val rate = numDocs / ((System.nanoTime() - t0) / 1e9)
+    // reps > 1 (the calibration PROBE path): best of `reps` runs — a short
+    // probe's single run is scheduler-noise-dominated (±25% measured on a
+    // 2 s region); the max over a few runs is a stable entitlement signal
+    val rate = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      run(mainPath)
+      numDocs / ((System.nanoTime() - t0) / 1e9)
+    }.max
     println(f"RATE $rate%.1f")
     spark.stop()
     sys.exit(0)

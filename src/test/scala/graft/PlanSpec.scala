@@ -235,6 +235,27 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pipe_dataprep is ONE job: dedup window + output sort are the only exchanges") {
+    val df = Queries.all("pipe_dataprep")(spark, sf)
+    df.collect() // finalize the AdaptiveSparkPlan
+    val plan = df.queryExecution.executedPlan.toString
+    // the augmented union reads the source once per branch; everything
+    // downstream — window dedup → featurize (lang/tokens/quality) →
+    // filters — must fuse onto that single pass: no third scan, exactly
+    // one hash exchange (the fp dedup window) and one range exchange
+    // (the contract's total output order)
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 scans (the union branches), got $scans:\n$plan")
+    val hashEx = plan.linesIterator.count(_.contains("Exchange hashpartitioning(fp"))
+    assert(hashEx == 1, s"expected exactly one dedup exchange, got $hashEx:\n$plan")
+    val rangeEx = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeEx <= 1, s"expected at most the output-sort exchange, got $rangeEx:\n$plan")
+    val totalEx = plan.linesIterator.count(_.contains("Exchange "))
+    assert(totalEx == hashEx + rangeEx,
+      s"unexpected extra exchange (a re-scan or re-shuffle between pipeline stages):\n$plan")
+    assert(plan.contains("Window"), s"dedup window missing:\n$plan")
+  }
+
   test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
     val docs = Fixtures.testDocsDS(spark)
     val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))

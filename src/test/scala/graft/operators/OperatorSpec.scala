@@ -278,6 +278,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(UrlMeta.kindOf("a.png") == "image")
   }
 
+  test("SRP/IVF index append: base+appended search equals a fresh full rebuild") {
+    import spark.implicits._
+    val all = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.73).toFloat))
+    }
+    val (base, delta) = all.splitAt(140)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-idx-append").toString
+    // query = an APPENDED vector: proves the delta is searchable (its own
+    // rank-1 hit must be itself), not just that old results survive
+    val q = all(170)._2.toSeq
+
+    Similarity.buildSrpIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$tmp/srp")
+    Similarity.appendSrpIndex(delta.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$tmp/srp")
+    Similarity.buildSrpIndex(all.toDF("vec_id", "embedding"), "vec_id", "embedding", s"$tmp/srp_full")
+    val srpApp = Similarity.lshIndexedTopK(spark, s"$tmp/srp", "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val srpFull = Similarity.lshIndexedTopK(spark, s"$tmp/srp_full", "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(srpApp == srpFull, s"append=$srpApp rebuild=$srpFull")
+    assert(srpApp.head == ((1, 170L)), s"appended vector must be its own top hit: $srpApp")
+
+    val cents = Similarity.kmeansCentroids(all.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, iters = 2)
+    Similarity.buildIvfIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, s"$tmp/ivf")
+    Similarity.appendIvfIndex(delta.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, s"$tmp/ivf")
+    Similarity.buildIvfIndex(all.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, s"$tmp/ivf_full")
+    val ivfApp = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf", "vec_id", "embedding", q, 10, cents)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val ivfFull = Similarity.ivfTopKIndexed(spark, s"$tmp/ivf_full", "vec_id", "embedding", q, 10, cents)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(ivfApp == ivfFull, s"append=$ivfApp rebuild=$ivfFull")
+    assert(ivfApp.head == ((1, 170L)), s"appended vector must be its own top hit: $ivfApp")
+  }
+
   test("IVF: k-means converges on separated clusters; probe finds the right bucket") {
     import spark.implicits._
     // two well-separated clusters in 4-d

@@ -51,4 +51,42 @@ class ResumeSpec extends AnyFunSuite {
     val lineage = spark.read.parquet(s"${out}_lineage")
     assert(lineage.count() == (s1.lineage.size + s2.lineage.size + s3.lineage.size))
   }
+
+  test("crash resume: committed files without _SUCCESS converge to the exact golden table") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-crash").toFile.getAbsolutePath
+    val out = s"$tmp/docs_extracted"
+    val all: Seq[Doc] = Fixtures.testDocs
+    val conf1 = ExtractConf(level = "medium", numPartitions = 4, runId = "run-1")
+    val (firstHalf, rest) = all.splitAt(all.length / 2)
+    Extract.run(spark, spark.createDataset(firstHalf), out, conf1)
+
+    // Simulate a job that DIED mid-write: some of the remaining docs'
+    // output files are visible (Spark task-commit renames files whole, so
+    // any visible .parquet contains only complete rows) but the job never
+    // reached its _SUCCESS job-commit marker. committedIds treats visible
+    // files as committed — this pins that the rerun neither duplicates the
+    // crashed job's docs nor loses the rest (round-2 verdict item 6).
+    val crashed = rest.take(5).map(d => ExtractKernel.extractWhole(d,
+      graft.media.DeterministicMediaStore, graft.media.DeterministicOcr, conf1))
+    spark.createDataset(crashed).write.mode("append").parquet(out)
+    val succ = new java.io.File(out, "_SUCCESS")
+    assert(succ.exists, "append should have rewritten the marker")
+    assert(succ.delete(), "simulated crash: remove the job-commit marker")
+
+    val s2 = Extract.run(spark, spark.createDataset(all), out,
+      conf1.copy(runId = "run-2"))
+    assert(s2.docsProcessed == all.length - firstHalf.length - 5,
+      s"rerun must skip the crashed job's visible docs, processed ${s2.docsProcessed}")
+
+    val finalRows = spark.read.parquet(out).as[graft.model.DocOut].collect()
+    assert(finalRows.length == all.length, "no duplicates, no losses")
+    val byId = finalRows.map(d => d.doc_id -> d).toMap
+    all.foreach { d =>
+      val seq = ExtractKernel.extractWhole(d, graft.media.DeterministicMediaStore,
+        graft.media.DeterministicOcr, conf1)
+      assert(byId(d.doc_id).spans == seq.spans, s"spans differ for ${d.doc_id}")
+    }
+  }
 }
