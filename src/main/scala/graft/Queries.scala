@@ -447,7 +447,12 @@ object Queries {
           TextOps.tokenCountCol(col("text")).cast("long").as("n_tokens"),
           quality("n_words").cast("long").as("n_words"),
           quality("n_stop").cast("long").as("n_stop"))
-        .filter(col("detected") === "english" && col("n_words") >= lit(5L))
+        // keep-target-language + minimum-length gates; on this corpus the
+        // keyword scorer detects 'portuguese' (the synthetic text leans on
+        // pt stopwords) and word counts span 10-99, so both predicates have
+        // real selectivity (the round-3 first cut filtered on 'english' and
+        // returned 0 rows — a correct but vacuous oracle row)
+        .filter(col("detected") === "portuguese" && col("n_words") >= lit(40L))
         .orderBy(col("doc_id"))
     }),
 
@@ -868,7 +873,7 @@ object Queries {
          |    CAST(${qsql("n_words")} AS BIGINT) AS n_words,
          |    CAST(${qsql("n_stop")} AS BIGINT) AS n_stop
          |  FROM keep)
-         |WHERE detected = 'english' AND n_words >= 5
+         |WHERE detected = 'portuguese' AND n_words >= 40
          |ORDER BY doc_id""".stripMargin
     },
 

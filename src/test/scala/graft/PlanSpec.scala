@@ -238,7 +238,9 @@ class PlanSpec extends AnyFunSuite {
   test("pipe_dataprep is ONE job: dedup window + output sort are the only exchanges") {
     val df = Queries.all("pipe_dataprep")(spark, sf)
     df.collect() // finalize the AdaptiveSparkPlan
-    val plan = df.queryExecution.executedPlan.toString
+    // a finalized AdaptiveSparkPlan prints BOTH the final and the initial
+    // plan — count nodes in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     // the augmented union reads the source once per branch; everything
     // downstream — window dedup → featurize (lang/tokens/quality) →
     // filters — must fuse onto that single pass: no third scan, exactly

@@ -280,8 +280,11 @@ class OperatorSpec extends AnyFunSuite {
 
   test("SRP/IVF index append: base+appended search equals a fresh full rebuild") {
     import spark.implicits._
+    // hash-derived components (sin(i*a+d*b) is ~17-periodic in i — ids 170
+    // and 187 got near-identical vectors and broke rank determinism)
     val all = (0L until 200L).map { i =>
-      (i, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 0.73).toFloat))
+      (i, Array.tabulate(64)(d =>
+        (graft.core.Hash64.pick(s"iv|$i|$d", 2001) - 1000) / 1000.0f))
     }
     val (base, delta) = all.splitAt(140)
     val tmp = java.nio.file.Files.createTempDirectory("graft-idx-append").toString
