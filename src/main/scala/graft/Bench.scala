@@ -180,16 +180,30 @@ object Bench {
     var rateLow = 0.0
     var rateHigh = 0.0
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // The hypervisor's CPU-credit pool refills at roughly half the host's
+    // cores (BASELINE.md addendum); the LOW leg runs under that rate and is
+    // immune to pool state, but a HIGH leg started on a drained pool is
+    // capped at the refill rate — r3 measured exactly that signature
+    // (pairs 0.40/0.57/0.55 ≈ refill/8 on a post-test-suite host, with the
+    // SAME code at 0.83+ rested). So rest immediately before EVERY high
+    // leg: the burst pool (rest seconds × refill rate) then covers the
+    // high leg's full cpu-seconds, making the ratio measure the JOB's
+    // scaling rather than the hypervisor's bucket level.
+    val hiRestS = sys.env.getOrElse("GRAFT_BENCH_HI_REST_S", "45").toInt
     for (r <- 0 until rounds) {
       if (r > 0) Thread.sleep(restS * 1000L)
       gate.foreach(_.await()) // only start a pair on a healthy credit pool
+      def hiLeg(): Double = {
+        Thread.sleep(hiRestS * 1000L)
+        extractionRate(nHigh, numDocs)
+      }
       val (lo, hi) =
         if (r % 2 == 0) {
           val l = extractionRate(nLow, numDocs)
-          val h = extractionRate(nHigh, numDocs)
+          val h = hiLeg()
           (l, h)
         } else {
-          val h = extractionRate(nHigh, numDocs)
+          val h = hiLeg()
           val l = extractionRate(nLow, numDocs)
           (l, h)
         }
@@ -235,9 +249,11 @@ object Bench {
     // past a prudent ~9 min envelope for the driver-run bench).
     val rounds = sys.env.getOrElse("GRAFT_BENCH_ROUNDS", "3").toInt
     val rounds2 = sys.env.getOrElse("GRAFT_BENCH_ROUNDS_8_32", "1").toInt
-    // in-pair rest is shorter than round 2's 50 s: the gate (below) now owns
-    // pool health — a fixed rest only has to cover the light inter-pair lull
-    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "30").toInt
+    // inter-pair rest is short: pool health for the HIGH legs is owned by
+    // the per-leg rest inside measurePair (GRAFT_BENCH_HI_REST_S), which is
+    // where the credit pool actually matters — the low leg runs below the
+    // refill rate and doesn't care
+    val restS = sys.env.getOrElse("GRAFT_BENCH_REST_S", "15").toInt
     val nLow = sys.env.getOrElse("GRAFT_BENCH_N", "2").toInt
     // stored rested-host reference for the 8-core probe (docs/s on the warm
     // corpus). Measured on this host class rested; env-overridable when the
@@ -247,8 +263,12 @@ object Bench {
     val gateRestS = sys.env.getOrElse("GRAFT_BENCH_GATE_REST_S", "40").toInt
     // global cap on ALL gating (rests + probes): typical healthy-host cost
     // is one ~12 s probe per pair; the cap keeps the worst case (pool never
-    // recovers) inside the bench's ~10 min envelope with the query phase
-    val gateDeadlineS = sys.env.getOrElse("GRAFT_BENCH_GATE_DEADLINE_S", "240").toInt
+    // recovers) inside the bench's ~10 min envelope with the query phase.
+    // Shorter than round 3's 240 s: the per-high-leg rest now does the
+    // targeted recovery, the gate only avoids catastrophic starts (its own
+    // probes burn the pool they measure — r3 saw probes DEGRADE 21k→12.5k
+    // across one gate session on a deeply drained host)
+    val gateDeadlineS = sys.env.getOrElse("GRAFT_BENCH_GATE_DEADLINE_S", "120").toInt
 
     // --- scaling (fault-isolated: a failed phase must not swallow the JSON)
     var primary: Option[Scaling] = None

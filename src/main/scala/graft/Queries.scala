@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AsOf, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -366,6 +366,36 @@ object Queries {
         .orderBy(col("lang"))
     }),
 
+    "q_sample_strat" -> ((s, dir) => {
+      // deterministic stratified downsample (corpus rebalancing): keep 30%
+      // of English, all of Chinese, 60% of everything else — selection is a
+      // pure per-row integer hash of doc_id (no shuffle, no sampling state,
+      // identical rows kept at any partitioning/cluster size; see
+      // operators/Sampling.scala).
+      Sampling.stratified(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 30, "zh" -> 100), defaultPct = 60)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_len_quantiles" -> ((s, dir) => {
+      // discrete per-source length quantiles by pure integer rank math —
+      // the median and p90 are actual corpus elements (lower median,
+      // ceil-rank p90), so there is no interpolation and no float parity
+      // risk. One shuffle (window partition by source).
+      val bySrc = Window.partitionBy(col("source"))
+      val ranked = docs(s, dir)
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(bySrc))
+      ranked.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("n_chars"))).as("med_chars"),
+          max(when(col("rn") === expr("(9 * n + 9) DIV 10"), col("n_chars"))).as("p90_chars"))
+        .orderBy(col("source"))
+    }),
+
     "q_fingerprint" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
@@ -426,6 +456,51 @@ object Queries {
     "dd_simhash_md5" -> ((s, dir) => simhashMd5(docs(s, dir))),
 
     "dd_stream_exact" -> ((s, dir) => streamExactDedup(s, dir)),
+
+    "dd_components" -> ((s, dir) => {
+      // duplicate-CLUSTER resolution: the step after LSH + verify in a real
+      // dedup job — verified near-dup pairs form a graph; every doc in a
+      // cluster maps to the cluster's canonical keeper (smallest reachable
+      // id) via alternating large-star/small-star connected components
+      // (O(log² n) rounds; see Dedup.connectedComponents). DuckDB oracle =
+      // WITH RECURSIVE reachability over the same verified edges.
+      val ver = Dedup.ngramJaccardVerified(augmented(s, dir), "doc_id", "text")
+        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+      Dedup.connectedComponents(ver, "id_a", "id_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_incremental" -> ((s, dir) => {
+      // incremental dedup: probe a NEW batch against the MATERIALIZED band
+      // index of the existing corpus (built once per corpus — the
+      // daily-crawl pattern; base signatures are never recomputed), verify
+      // candidates with exact shingle overlap, and report each batch doc's
+      // canonical duplicate in the base (min verified id; null = genuinely
+      // new). Bench warms the index via prepareIndexes so the timed path
+      // is the probe, matching production amortization.
+      val batch = docs(s, dir)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+      val idx = bandIndexPath(s, dir)
+      val cand = Dedup.probeBandIndex(s, idx, batch, "doc_id", "text")
+      // verification reads the index's STORED shingle sets — the base
+      // corpus itself is never rescanned or re-shingled at probe time
+      val baseSets = Dedup.indexSets(s, idx)
+        .select(col("doc_id").as("id_base"), col("shl").as("shl_b"))
+      val batchSets = batch.select(col("doc_id").as("id_new"),
+        array_distinct(Dedup.shingles(col("text"))).as("shl_n"))
+      val ver = cand.join(batchSets, "id_new").join(baseSets, "id_base")
+        .select(col("id_new"), col("id_base"),
+          size(array_intersect(col("shl_n"), col("shl_b"))).cast("long").as("c"),
+          size(col("shl_n")).cast("long").as("na"),
+          size(col("shl_b")).cast("long").as("nb"))
+        .filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 6)
+      batch.select(col("doc_id"))
+        .join(ver.select(col("id_new").as("doc_id"), col("id_base")), Seq("doc_id"), "left")
+        .groupBy(col("doc_id"))
+        .agg(min(col("id_base")).as("dup_of"))
+        .orderBy(col("doc_id"))
+    }),
 
     "pipe_dataprep" -> ((s, dir) => {
       // Composed end-to-end data-prep (round-2 verdict item 5): the 100 TB
@@ -540,15 +615,17 @@ object Queries {
 
   /** Shared minhash-LSH CTE prefix for the dedup oracles — mirrors
     * `Dedup.minhashSignature`/`minhashCandidates` exactly: per-row shingle
-    * sets → list_min of md5-permuted shingles → 4 two-row band digests. */
-  private def minhashOracle(tail: String, extraCte: Boolean = false): String = {
+    * sets → list_min of 8-hex-char lanes sliced from md5('k|'+s) (lane i =
+    * hash i/4, chars 1+8·(i%4)..) → 4 two-row band digests. */
+  private def minhashOracle(tail: String, extraCte: Boolean = false,
+      recursive: Boolean = false): String = {
     val sigCols = (0 until 8)
-      .map(i => s"list_min(list_transform(shl, s -> md5('$i|' || s))) AS m$i")
+      .map(i => s"list_min(list_transform(shl, s -> substring(md5('${i / 4}|' || s), ${1 + 8 * (i % 4)}, 8))) AS m$i")
       .mkString(",\n    ")
     val bandRows = (0 until 4)
       .map(b => s"SELECT doc_id, $b AS band, md5(m${2 * b} || m${2 * b + 1}) AS digest FROM sig")
       .mkString("\n    UNION ALL ")
-    s"""WITH $augmentedSql,
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}$augmentedSql,
        |w AS (SELECT doc_id, ${Dedup.wordsSql("text")} AS wl FROM aug),
        |sets AS (SELECT doc_id, list_distinct(${Dedup.shingleListSql("wl")}) AS shl FROM w),
        |sig AS (SELECT doc_id,
@@ -597,6 +674,26 @@ object Queries {
   def prepareIndexes(s: SparkSession, dir: String): Unit = {
     srpIndexPath(s, dir)
     ivfIndexPath(s, dir)
+    bandIndexPath(s, dir)
+  }
+
+  /** Content-fingerprinted root for indexes over the DOCUMENTS table
+    * (mirrors `indexRoot`, which fingerprints the embeddings table). */
+  private def docsIndexRoot(dir: String): String = {
+    val src = new java.io.File(p(dir, "documents"))
+    val files: Seq[java.io.File] =
+      if (src.isDirectory) src.listFiles().toSeq.sortBy(_.getName) else Seq(src)
+    val fp = graft.core.Hash64(
+      dir + "|" + files.map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(","))
+    f"/tmp/graft_index/docs_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp%016x"
+  }
+  private def bandIndexPath(s: SparkSession, dir: String): String = {
+    val root = s"${docsIndexRoot(dir)}/bandidx"
+    // sets/ is written last, so its _SUCCESS marks the whole index complete
+    ensureIndex(s"$root/sets") {
+      Dedup.buildBandIndex(docs(s, dir), "doc_id", "text", root)
+    }
+    root
   }
   private def ensureIndex(path: String)(build: => Unit): String = {
     if (!new java.io.File(s"$path/_SUCCESS").exists) synchronized {
@@ -807,6 +904,65 @@ object Queries {
         |WHERE len(list_intersect(sa.shl, sb.shl)) * 10
         |      >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6
         |ORDER BY id_a, id_b""".stripMargin, extraCte = true),
+
+    "dd_components" -> Queries.minhashOracle(
+      """cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+        |ver AS (
+        |  SELECT id_a, id_b
+        |  FROM cand
+        |  JOIN sets sa ON sa.doc_id = id_a
+        |  JOIN sets sb ON sb.doc_id = id_b
+        |  WHERE len(list_intersect(sa.shl, sb.shl)) * 10
+        |        >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM ver
+        |        UNION SELECT id_b, id_a FROM ver),
+        |walk AS (
+        |  SELECT u, u AS comp FROM sym
+        |  UNION
+        |  SELECT e.v AS u, w.comp FROM walk w JOIN sym e ON e.u = w.u
+        |)
+        |SELECT u AS doc_id, MIN(comp) AS component
+        |FROM walk GROUP BY u ORDER BY doc_id""".stripMargin,
+      extraCte = true, recursive = true),
+
+    "dd_incremental" -> Queries.minhashOracle(
+      """cand AS (
+        |  SELECT b.doc_id AS id_new, a.doc_id AS id_base
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.digest = b.digest
+        |   AND a.doc_id < 1000000 AND b.doc_id >= 1000000),
+        |ver AS (
+        |  SELECT DISTINCT id_new, id_base
+        |  FROM cand
+        |  JOIN sets sn ON sn.doc_id = id_new
+        |  JOIN sets sb ON sb.doc_id = id_base
+        |  WHERE len(list_intersect(sn.shl, sb.shl)) * 10
+        |        >= (len(sn.shl) + len(sb.shl) - len(list_intersect(sn.shl, sb.shl))) * 6)
+        |SELECT d.doc_id, MIN(v.id_base) AS dup_of
+        |FROM (SELECT doc_id FROM aug WHERE doc_id >= 1000000) d
+        |LEFT JOIN ver v ON v.id_new = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+      extraCte = true),
+
+    "q_sample_strat" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${Sampling.stratifiedSql("doc_id", "lang",
+                   Map("en" -> 30, "zh" -> 100), defaultPct = 60)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_len_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS med_chars,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN n_chars END) AS p90_chars
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     "mm_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

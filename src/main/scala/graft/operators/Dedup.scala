@@ -61,37 +61,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Permutation hash: md5 hex (engine-portable → DuckDB oracle can
-    * reproduce signatures bit-for-bit). */
-  val md5Perm: (Column, Int) => Column =
-    (s, i) => md5(concat(lit(s"$i|"), s).cast("binary"))
-
-  /** Prod-speed permutation hash: xxhash64 (codegen'd, ~10× cheaper than
-    * md5; not DuckDB-reproducible → rows-only check). Cast to string so the
-    * min/least fold shape is shared with the md5 form. */
-  val xxPerm: (Column, Int) => Column =
-    (s, i) => lpad(hex(xxhash64(lit(i), s)), 16, "0")
-
-  /** MinHash signature columns: perm i ↦ min over shingles of perm(s, i).
-    * Computed per-ROW (no explode, no groupBy, NO SHUFFLE): at 10^12 docs
-    * the signature stage is a pure map over the scan. Docs with < n words
-    * get a null signature and drop out of candidate generation (null never
-    * joins). */
+  /** MinHash signature columns: lane i ↦ min over shingles of an md5-derived
+    * 32-bit (8-hex-char) slice. Computed per-ROW (no explode, no groupBy,
+    * NO SHUFFLE): at 10^12 docs the signature stage is a pure map over the
+    * scan. Docs with < n words get a null signature and drop out of
+    * candidate generation (null never joins).
+    *
+    * Lane scheme (engine-portable → the DuckDB oracle reproduces it
+    * bit-for-bit): each shingle is hashed ceil(numPerms/4) times —
+    * `md5(k + '|' + s)` for k = 0,1,… — and the hex strings concatenated;
+    * lane i is the 8 hex chars at offset 8·i (hash i/4, slice i%4). For the
+    * default 8 lanes that is 2 md5s per shingle instead of the previous
+    * one-md5-per-permutation (4× less hashing), and the per-element
+    * transform builds one string instead of a struct of eight. 32-bit lanes
+    * keep the min-collision probability between unrelated docs at ~n/2^33 —
+    * negligible next to the banding's own false-positive rate, and all
+    * candidates are verified downstream anyway. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8, perm: (Column, Int) => Column = md5Perm): DataFrame = {
+      numPerms: Int = 8): DataFrame = {
     val sh = array_distinct(shingles(col(textCol)))
-    // Single pass over the shingles: per shingle a struct of all perms'
-    // md5s, folded elementwise with least(). 4.8× faster than building
-    // numPerms independent array_min(transform(...)) columns (each
-    // re-materializes the hash array). "g" sorts after every hex digit, so
-    // it is the fold's +infinity; an empty shingle list yields a null
-    // signature (matching array_min-on-empty), keeping sub-n-word docs out
-    // of candidate generation.
-    val hashes = transform(sh, s => struct((0 until numPerms).map(i =>
-      perm(s, i).as(s"m$i")): _*))
+    val nHash = (numPerms + 3) / 4
+    val hstrs = transform(sh, s =>
+      concat((0 until nHash).map(k => md5(concat(lit(s"$k|"), s).cast("binary"))): _*))
+    // Fold lanes elementwise with least(). "g" sorts after every hex digit,
+    // so it is the fold's +infinity; an empty shingle list yields a null
+    // signature, keeping sub-n-word docs out of candidate generation.
     val init = struct((0 until numPerms).map(i => lit("g").as(s"m$i")): _*)
-    val folded = aggregate(hashes, init, (acc, x) =>
-      struct((0 until numPerms).map(i => least(acc(s"m$i"), x(s"m$i")).as(s"m$i")): _*))
+    val folded = aggregate(hstrs, init, (acc, h) =>
+      struct((0 until numPerms).map(i =>
+        least(acc(s"m$i"), substring(h, 1 + 8 * i, 8)).as(s"m$i")): _*))
     val sig = when(size(sh) > 0, folded)
     // two-stage select: CollapseProject keeps the expensive fold
     // un-duplicated because its alias is referenced numPerms times
@@ -99,25 +97,32 @@ object Dedup {
       .select(col(idCol) +: (0 until numPerms).map(i => col(s"sig.m$i").as(s"m$i")): _*)
   }
 
-  /** LSH candidate pairs: band b = md5(m_{2b} || m_{2b+1}); docs sharing any
-    * band digest are candidates. Output (id_a < id_b, band). */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8, rowsPerBand: Int = 2,
-      perm: (Column, Int) => Column = md5Perm): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, numPerms, perm)
+  /** Exploded LSH band rows (id, band, digest): band b's digest =
+    * md5(m_{2b} || m_{2b+1}). Shared by the self-join candidate path and
+    * the incremental (index-probe) path. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numPerms)
     val nBands = numPerms / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("digest"))
     }
+    sig
+      .select(col(idCol), explode(array(bands: _*)).as("bd"))
+      .select(col(idCol), col("bd.band"), col("bd.digest"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band digest are candidates.
+    * Output (id_a < id_b). */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     // Explicit shuffle on the band key BEFORE the self-join: both join
     // sides then hang off the identical exchange, which ReuseExchange
     // materializes once — without it Catalyst broadcasts one side and the
-    // whole signature pipeline (8 md5s per shingle) computes twice. The
+    // whole signature pipeline (2 md5s per shingle) computes twice. The
     // shuffled rows are tiny (id + band + 32-byte digest).
-    val exploded = sig
-      .select(col(idCol), explode(array(bands: _*)).as("bd"))
-      .select(col(idCol), col("bd.band"), col("bd.digest"))
+    val exploded = bandRows(docs, idCol, textCol, numPerms, rowsPerBand)
       .repartition(col("band"), col("digest"))
     val a = exploded.as("a")
     val b2 = exploded.as("b")
@@ -127,6 +132,48 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Materialize the LSH dedup index of a base corpus — the persistent
+    * state an incremental pipeline probes new batches against. Two parts,
+    * written once per corpus build so the base corpus is NEVER rescanned
+    * or re-shingled at probe time (at 10^12 docs, recomputing base
+    * signatures per daily batch would dwarf the batch itself):
+    *   `$path/bands` — (id, band, digest) rows for candidate generation;
+    *   `$path/sets`  — (id, shl) per-doc distinct shingle sets for exact
+    *                    verification of candidates.
+    * Every probe touches all bands, so the join key (band, digest) — not a
+    * partition column — does the pruning via hash join. At extreme scale
+    * the sets table would additionally be bucketed by id so verification
+    * reads only candidate buckets. */
+  def buildBandIndex(base: DataFrame, idCol: String, textCol: String,
+      path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
+    bandRows(base, idCol, textCol, numPerms, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    // written last: sets/_SUCCESS marks the whole index complete
+    base.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+  }
+
+  /** Incremental dedup candidates: probe a new batch's band rows against a
+    * materialized base index. Output (id_new, id_base) — band-colliding
+    * pairs only, to be verified downstream exactly like the self-join
+    * path. The batch side is typically ≪ the index: AQE picks a broadcast
+    * or shuffled-hash join on (band, digest) accordingly; the index is
+    * never self-joined and never recomputed. */
+  def probeBandIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val baseBands = spark.read.parquet(s"$indexPath/bands")
+    val batchBands = bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
+    batchBands.as("n").join(baseBands.as("b"),
+        col("n.band") === col("b.band") && col("n.digest") === col("b.digest"))
+      .select(col(s"n.$idCol").as("id_new"), col(s"b.$idCol").as("id_base"))
+      .distinct()
+  }
+
+  /** The stored shingle sets of a materialized index (for verification). */
+  def indexSets(spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/sets")
 
   /** Prod-speed LSH candidates: signatures from the NATIVE one-pass
     * `minhash_sigs` expression (graft.functions.MinHashSigs — single scan,
@@ -178,6 +225,76 @@ object Dedup {
         graft.functions.functions.sortedIntersectCount(col("shl_a"), col("shl_b")).as("n_common"),
         size(col("shl_a")).cast("long").as("n_a"),
         size(col("shl_b")).cast("long").as("n_b"))
+  }
+
+  /** Connected components over an undirected edge list via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014 — published public work): converges
+    * in O(log² n) rounds on ANY graph shape, vs O(diameter) for naive
+    * min-label propagation — a long duplicate chain at 10^12 docs would
+    * never finish the naive way. This is the cluster-resolution step a real
+    * dedup pipeline runs after LSH + verification: every doc in a duplicate
+    * cluster maps to the cluster's canonical keeper (its smallest id).
+    *
+    * Scale shape: each round is two groupBy-min + join stages keyed by node
+    * id (shuffle width = the shrinking edge list, never the corpus); no
+    * driver-side graph state; `localCheckpoint` per round cuts the
+    * iterative lineage so plans stay O(1). Convergence is detected by a
+    * (count, xor-of-64-bit-hashes) edge-set checksum — order-independent,
+    * collision odds ~2^-64 per round (prod could compare sets exactly at
+    * one extra shuffle per round).
+    *
+    * Output: (id, component) for every node appearing in at least one edge;
+    * component = smallest reachable node id. */
+  def connectedComponents(edges0: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 50): DataFrame = {
+    // orient every edge (larger, smaller) and dedup; drop self-edges.
+    // The id type is preserved (NOT cast to string): "smallest id" must
+    // mean the same order in the engine and in any oracle comparing it —
+    // lexicographic vs numeric min would pick different component roots.
+    var edges = edges0
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sum = checksum(edges)
+    var converged = edges.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star: for each node u, hang every LARGER neighbor off
+      // m = min(N(u) ∪ {u}) — output keeps the (larger, smaller) orientation
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(lmin, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: all neighbors of u are smaller here; hang u and every
+      // non-min neighbor off m = min(N(u))
+      val smin = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(smin, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val s2 = checksum(small)
+      converged = s2 == sum
+      sum = s2
+      edges = small
+      it += 1
+    }
+    // fixpoint is a forest of stars (node → component min); add the roots
+    edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
   }
 
   /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the

@@ -258,6 +258,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"dedup window missing:\n$plan")
   }
 
+  test("dd_incremental probes the MATERIALIZED index: base corpus never re-shingled") {
+    val df = Queries.all("dd_incremental")(spark, sf)
+    df.collect()
+    // base-side state (band rows for candidates, shingle sets for
+    // verification) must come from the index files, never from re-deriving
+    // the documents table — the whole point of incremental dedup. Inspect
+    // the scan RELATIONS (the executed-plan string truncates locations).
+    val roots = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    val idxScans = roots.count(_.contains("bandidx"))
+    assert(idxScans == 2, s"expected band + sets index scans, got $idxScans: $roots")
+    // the documents table feeds only the batch side: bands, sets, id list
+    val docScans = roots.count(_.contains("documents.parquet"))
+    assert(docScans <= 3, s"batch side should need <= 3 corpus scans, got $docScans: $roots")
+    assert(roots.size == idxScans + docScans, s"unexpected extra relation: $roots")
+  }
+
   test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
     val docs = Fixtures.testDocsDS(spark)
     val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))

@@ -67,6 +67,67 @@ class OperatorSpec extends AnyFunSuite {
       assert(native(k) == hof(k), s"pair $k: native=${native(k)} hof=${hof(k)}")
   }
 
+  test("stratified sample: deterministic, partition-layout independent, honors rates") {
+    import spark.implicits._
+    val rows = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
+    val rates = Map("en" -> 25, "zh" -> 100)
+    val kept = Sampling.stratified(rows, "doc_id", "lang", rates, defaultPct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    // repartitioned input selects the IDENTICAL set (pure per-row hash)
+    val kept2 = Sampling.stratified(rows.repartition(7), "doc_id", "lang", rates, defaultPct = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == kept2, "selection must not depend on partitioning")
+    // zh stratum (odd ids) kept whole; en stratum near its 25% rate
+    assert((1L to 1000L).filter(_ % 2 == 1).forall(kept.contains))
+    val enKept = kept.count(_ % 2 == 0)
+    assert(enKept > 75 && enKept < 175, s"en rate off: $enKept/500 at 25%")
+    // matches the hash formula exactly
+    val manual = (1L to 1000L).filter { i =>
+      val b = ((i * 2654435761L) % 4294967296L) % 100
+      b < (if (i % 2 == 0) 25 else 100)
+    }.toSet
+    assert(kept == manual)
+  }
+
+  test("band index probe: batch near-dups hit the base index, unrelated miss") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("bandidx").toString + "/idx"
+    Dedup.buildBandIndex(corpus, "doc_id", "text", path)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank today"), // = doc 1
+      (102L, "totally unrelated sentence about astronomy telescopes and distant galaxies tonight")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.probeBandIndex(spark, path, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((101L, 1L)) && hits.contains((101L, 2L)), s"exact dup must hit: $hits")
+    assert(!hits.exists(_._1 == 102L), s"unrelated batch doc must miss: $hits")
+  }
+
+  test("connected components: chains, triangles, singleton edges resolve to min id") {
+    import spark.implicits._
+    // one 5-node PATH (worst case for naive propagation — needs >1 star
+    // round), one triangle with a chord, one isolated pair; ids chosen so
+    // lexicographic string order != insertion order is exercised ("b10" < "b9")
+    val edges = Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a3", "a4"), ("a4", "a5"),
+      ("b9", "b10"), ("b10", "b11"), ("b9", "b11"),
+      ("c1", "c2"),
+      ("a1", "a1") // self-edge must be ignored
+    ).toDF("x", "y")
+    val got = Dedup.connectedComponents(edges, "x", "y")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map(
+      "a1" -> "a1", "a2" -> "a1", "a3" -> "a1", "a4" -> "a1", "a5" -> "a1",
+      "b9" -> "b10", "b10" -> "b10", "b11" -> "b10", // "b10" < "b9" as strings
+      "c1" -> "c1", "c2" -> "c1"), s"wrong components: $got")
+  }
+
+  test("connected components: empty edge set yields empty output") {
+    import spark.implicits._
+    val none = Seq.empty[(String, String)].toDF("x", "y")
+    assert(Dedup.connectedComponents(none, "x", "y").isEmpty)
+  }
+
   test("jaccard verification: identical docs = full overlap, near-dups partial") {
     val rows = Dedup.ngramJaccardVerified(corpus, "doc_id", "text")
       .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
