@@ -46,32 +46,36 @@ object Queries {
     * digest, which DuckDB reproduces bit-for-bit. Tokens = distinct words
     * of the whitespace-normalized lowercase text; bit b of a token = bit
     * (3 − b mod 4) of hex digit (b div 4); signature = 64-char '0'/'1'
-    * string (bit 0 first), bit set iff Σ_tokens (2·bit − 1) ≥ 0. The
-    * tokens × 64-bits explode is the transparent engine-portable form —
-    * the one-pass native expression stays the prod path. */
+    * string (bit 0 first), bit set iff Σ_tokens (2·bit − 1) ≥ 0.
+    *
+    * Shape: explode DISTINCT WORDS only (not words × 64 bits), compute the
+    * 64 per-bit contributions as STATIC codegen'd columns (literal substr
+    * position + literal divisor per column — no HOF lambdas, which are
+    * interpreted and boxed), and fold them in ONE hash aggregate whose
+    * map-side partial combine shrinks the shuffle to one 64-int row per
+    * doc. The earlier tokens×64 explode pushed ~128 M rows through two
+    * exchanges (6.6 s at sf0.1); a per-row HOF fold avoided the shuffle
+    * but ran interpreted and was no faster. Bit math is unchanged, so the
+    * DuckDB oracle is untouched. */
   private def simhashMd5(d: DataFrame): DataFrame = {
     val words = array_distinct(
       split(regexp_replace(lower(trim(col("text"))), " +", " "), " "))
     val toks = d.select(col("doc_id"), explode(words).as("tok"))
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
     // hex digit b/4 (1-based substr) → value 0-15 → bit (3 - b%4) via an
-    // integer divide by 8/4/2/1 (shiftright takes only literal shifts)
-    val hexval = conv(col("h").substr(floor(col("b") / 4).cast("int") + lit(1), lit(1)),
-      16, 10).cast("int")
-    val divisor = element_at(array(lit(8), lit(4), lit(2), lit(1)),
-      (col("b") % 4).cast("int") + lit(1))
-    val contrib = (hexval / divisor).cast("int") % 2 * 2 - 1
-    toks
-      .select(col("doc_id"), explode(sequence(lit(0), lit(63))).as("b"), col("h"))
-      .select(col("doc_id"), col("b"), contrib.as("c"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("c")).as("sgn"))
-      .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("b").as("b"),
-          when(col("sgn") >= 0, lit("1")).otherwise(lit("0")).as("ch")))),
-        x => x.getField("ch")), "").as("sim_bits"))
-      .orderBy(col("doc_id"))
+    // integer divide by 8/4/2/1; every constant folds at plan time
+    def contrib(b: Int): Column = {
+      val hexval = conv(col("h").substr(lit(b / 4 + 1), lit(1)), 16, 10).cast("int")
+      (hexval / lit(Seq(8, 4, 2, 1)(b % 4))).cast("int") % 2 * 2 - 1
+    }
+    val withC = toks.select(
+      col("doc_id") +: (0 until 64).map(b => contrib(b).as(s"c$b")): _*)
+    val agg = withC.groupBy(col("doc_id"))
+      .agg(sum(col("c0")).as("s0"),
+        (1 until 64).map(b => sum(col(s"c$b")).as(s"s$b")): _*)
+    val bits = concat((0 until 64).map(b =>
+      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
+    agg.select(col("doc_id"), bits.as("sim_bits")).orderBy(col("doc_id"))
   }
 
   /** Streaming-EXECUTED contract query (round-2 verdict item 3): the
