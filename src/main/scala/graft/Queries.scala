@@ -506,6 +506,30 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "pipe_curate" -> ((s, dir) => {
+      // END-TO-END fuzzy curation in one job — the 100 TB recipe exactly as
+      // a user would run it: LSH candidates → exact-Jaccard verify →
+      // connected components (each near-dup cluster keeps only its
+      // canonical root) → quality gate → deterministic stratified
+      // rebalance. Composes dd_ngram_jaccard + dd_components +
+      // q_quality-style features + q_sample_strat into one plan; the oracle
+      // replays the identical chain with a recursive CTE.
+      val aug = augmented(s, dir)
+      val ver = Dedup.ngramJaccardVerified(aug, "doc_id", "text")
+        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+      val losers = Dedup.connectedComponents(ver, "id_a", "id_b")
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val quality = TextOps.qualityCols(col("text")).toMap
+      Sampling.stratified(
+          aug.join(losers, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("source"),
+              quality("n_words").cast("long").as("n_words"))
+            .filter(col("n_words") >= lit(30L)),
+          "doc_id", "source", Map("src0" -> 100, "src1" -> 10), defaultPct = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     "pipe_dataprep" -> ((s, dir) => {
       // Composed end-to-end data-prep (round-2 verdict item 5): the 100 TB
       // use-case is dedup → language filter → quality filter → token count
@@ -1018,6 +1042,40 @@ object Queries {
          |  SELECT doc_id, fp,
          |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "pipe_curate" -> {
+      val qsql = TextOps.qualitySql.toMap
+      Queries.minhashOracle(
+        s"""cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
+           |ver AS (
+           |  SELECT id_a, id_b
+           |  FROM cand
+           |  JOIN sets sa ON sa.doc_id = id_a
+           |  JOIN sets sb ON sb.doc_id = id_b
+           |  WHERE len(list_intersect(sa.shl, sb.shl)) * 10
+           |        >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6),
+           |sym AS (SELECT id_a AS u, id_b AS v FROM ver
+           |        UNION SELECT id_b, id_a FROM ver),
+           |walk AS (
+           |  SELECT u, u AS comp FROM sym
+           |  UNION
+           |  SELECT e.v AS u, w.comp FROM walk w JOIN sym e ON e.u = w.u),
+           |comp AS (SELECT u AS doc_id, MIN(comp) AS component FROM walk GROUP BY u),
+           |losers AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+           |SELECT doc_id, source, n_words FROM (
+           |  SELECT a.doc_id, a.source,
+           |    CAST(${qsql("n_words")} AS BIGINT) AS n_words
+           |  FROM aug a LEFT JOIN losers l ON l.doc_id = a.doc_id
+           |  WHERE l.doc_id IS NULL)
+           |WHERE n_words >= 30
+           |  AND ${Sampling.stratifiedSql("doc_id", "source",
+                      Map("src0" -> 100, "src1" -> 10), defaultPct = 50)}
+           |ORDER BY doc_id""".stripMargin,
+        extraCte = true, recursive = true)
+    },
 
     "pipe_dataprep" -> {
       val qsql = TextOps.qualitySql.toMap
