@@ -122,6 +122,50 @@ class OperatorSpec extends AnyFunSuite {
       "c1" -> "c1", "c2" -> "c1"), s"wrong components: $got")
   }
 
+  test("connected components: differential vs union-find on pseudo-random graphs") {
+    import spark.implicits._
+    // deterministic LCG edge sets over a small id space — exercises merged
+    // clusters, dangling chains, and isolated pairs without flaky inputs
+    var seed = 12345L
+    def next(bound: Int): Int = {
+      seed = (seed * 6364136223846793005L + 1442695040888963407L)
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    for (trial <- 1 to 4) {
+      val nEdges = 5 + next(25)
+      val edges = Seq.fill(nEdges)((next(16).toLong, next(16).toLong))
+        .filter(e => e._1 != e._2)
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) parent(find(a)) = find(b)
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> x).toMap.keys
+        .map { x =>
+          val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+            .filter(y => find(y) == find(x))
+          x -> members.min
+        }.toMap
+      val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == expect, s"trial $trial (${edges.size} edges): $got != $expect\nedges=$edges")
+    }
+  }
+
+  test("connected components: a 64-node path converges within the star-algorithm bound") {
+    import spark.implicits._
+    // worst case for naive propagation (O(n) rounds); large-star/small-star
+    // must finish a 64-node path in <= 10 rounds (O(log^2 n))
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(path, "a", "b", maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64 && got.forall(_._2 == 0L),
+      s"path must fully resolve to root 0 within 10 rounds: ${got.sortBy(_._1).take(8).toSeq}...")
+  }
+
   test("connected components: empty edge set yields empty output") {
     import spark.implicits._
     val none = Seq.empty[(String, String)].toDF("x", "y")
