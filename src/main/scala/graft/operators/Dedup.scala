@@ -154,6 +154,20 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/sets")
   }
 
+  /** Append a new batch into an existing band index — the daily-crawl
+    * WRITE path that pairs with `probeBandIndex`: after a batch is deduped
+    * against the base, its keepers join the base state for subsequent
+    * batches. Appends parquet files only (no rewrite of existing data);
+    * ids are assumed globally unique across appends (same contract as the
+    * ANN index appends). */
+  def appendBandIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
+    bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
+    batch.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"))
+      .write.mode("append").parquet(s"$path/sets")
+  }
+
   /** Incremental dedup candidates: probe a new batch's band rows against a
     * materialized base index. Output (id_new, id_base) — band-colliding
     * pairs only, to be verified downstream exactly like the self-join

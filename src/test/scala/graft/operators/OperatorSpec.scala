@@ -103,6 +103,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(!hits.exists(_._1 == 102L), s"unrelated batch doc must miss: $hits")
   }
 
+  test("band index append: probing base+appended equals a fresh full rebuild") {
+    import spark.implicits._
+    val base = corpus.filter(col("doc_id") <= 3)
+    val day2 = Seq(
+      (6L, "astronomy telescopes observe distant spiral galaxies through clear mountain air tonight"),
+      (7L, "monthly lease payments due under completely different contract terms this quarter")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bandappend").toString
+    val incr = s"$tmp/incr"
+    Dedup.buildBandIndex(base, "doc_id", "text", incr)
+    Dedup.appendBandIndex(day2, "doc_id", "text", incr)
+    val fresh = s"$tmp/fresh"
+    Dedup.buildBandIndex(base.unionAll(day2), "doc_id", "text", fresh)
+    val probeDocs = Seq(
+      (101L, "astronomy telescopes observe distant spiral galaxies through clear mountain air tonight"), // = appended 6
+      (102L, "the quick brown fox jumps over the lazy dog near the river bank today") // = base 1/2
+    ).toDF("doc_id", "text")
+    def probe(path: String) = Dedup.probeBandIndex(spark, path, probeDocs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAppend = probe(incr)
+    assert(viaAppend == probe(fresh), "appended index must behave like a rebuild")
+    assert(viaAppend.contains((101L, 6L)), s"appended doc must be probe-visible: $viaAppend")
+    assert(viaAppend.contains((102L, 1L)), s"base doc must stay probe-visible: $viaAppend")
+  }
+
   test("connected components: chains, triangles, singleton edges resolve to min id") {
     import spark.implicits._
     // one 5-node PATH (worst case for naive propagation — needs >1 star
