@@ -625,6 +625,29 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_frame_sample" -> ((s, dir) => {
+      // frame-sampling plumbing (every 2nd 64-wide frame window of the
+      // payload, fingerprinted) — see Multimodal.frameSample; per-row
+      // generate, no shuffle, no decoder. 64/2 so the fixture texts
+      // (~60-600 chars) produce real multi-frame strides, not all frame 0
+      Multimodal.frameSample(docs(s, dir), "doc_id", "text",
+          frameChars = 64, everyK = 2)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    "mm_resize_meta" -> ((s, dir) => {
+      // resize planning: pseudo-dims derived from the payload's md5 (hex →
+      // int, engine-portable) fit into a 512×512 box with integer-safe
+      // math; the pixel resample lives behind the Decoder seam
+      val h = md5(col("text").cast("binary"))
+      val d = docs(s, dir).select(col("doc_id"),
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % 1600 + 320).as("w0"),
+        (conv(substring(h, 5, 4), 16, 10).cast("long") % 900 + 240).as("h0"))
+      val (nw, nh) = Multimodal.fitBox(col("w0"), col("h0"), 512)
+      d.select(col("doc_id"), col("w0"), col("h0"), nw.as("new_w"), nh.as("new_h"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_decode_full" -> ((s, dir) => {
       // full stub-decoder path (per-partition decoder init; rows-only)
       val d = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -664,6 +687,15 @@ object Queries {
        |)${if (extraCte) "," else ""}
        |$tail""".stripMargin
   }
+
+  /** DuckDB SQL for the integer value of `nDigits` hex digits of `h`
+    * starting at 1-based `start` (DuckDB has no conv(); built from
+    * strpos over the hex alphabet). */
+  private def hexValSql(h: String, start: Int, nDigits: Int): String =
+    (0 until nDigits).map { i =>
+      val mul = math.pow(16, nDigits - 1 - i).toLong
+      s"(strpos('0123456789abcdef', substr($h, ${start + i}, 1)) - 1) * $mul"
+    }.mkString("(", " + ", ")")
 
   /** Deterministic ANN query vector: the embedding of the smallest vec_id. */
   private def queryVector(s: SparkSession, dir: String): Seq[Float] = {
@@ -974,6 +1006,26 @@ object Queries {
         |LEFT JOIN ver v ON v.id_new = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       extraCte = true),
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
+        |FROM documents,
+        |  UNNEST(range(0, CAST((length(text)-1)//64 AS BIGINT) + 1, 2)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_resize_meta" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id,
+         |    ${Queries.hexValSql("md5(text)", 1, 4)} % 1600 + 320 AS w0,
+         |    ${Queries.hexValSql("md5(text)", 5, 4)} % 900 + 240 AS h0
+         |  FROM documents)
+         |SELECT doc_id, w0, h0,
+         |  CASE WHEN w0 >= h0 THEN 512
+         |       ELSE CAST(floor(w0 * 512 / h0) AS BIGINT) END AS new_w,
+         |  CASE WHEN w0 >= h0 THEN CAST(floor(h0 * 512 / w0) AS BIGINT)
+         |       ELSE 512 END AS new_h
+         |FROM dims ORDER BY doc_id""".stripMargin,
 
     "q_sample_strat" ->
       s"""SELECT doc_id, lang FROM documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing for the training-data pipeline: image/audio/
@@ -47,6 +47,40 @@ object Multimodal {
         md.map("%02x".format(_)).mkString)
     }
   }
+
+  /** Sampled "frames" of a payload column: frame i is the `frameChars`-wide
+    * window starting at offset i·frameChars, and every k-th frame is kept —
+    * the frame-sampling plumbing of a video pipeline (pick every k-th frame,
+    * fingerprint it, dedup/cluster downstream). Pure per-row generate +
+    * window slice + md5: no shuffle, no decoder. In production the window
+    * is a BYTE range into the media payload behind the `Decoder` seam; the
+    * sandbox payload is the documents' text (DuckDB has no BLOB substring,
+    * so character windows keep the oracle value-exact).
+    * Rows with an empty payload produce no frames (matching the oracle's
+    * empty `range()`); Spark's `sequence` would reject the descending
+    * bounds, so they are filtered first. */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      frameChars: Int = 256, everyK: Int = 3): DataFrame = {
+    val maxIdx = floor((length(col(payloadCol)) - 1) / frameChars).cast("long")
+    df.filter(length(col(payloadCol)) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), maxIdx, lit(everyK.toLong))).as("frame_idx"),
+        col(payloadCol))
+      .select(col(idCol), col("frame_idx"),
+        md5(col(payloadCol)
+          .substr((col("frame_idx") * frameChars + 1).cast("int"), lit(frameChars))
+          .cast("binary")).as("frame_md5"))
+  }
+
+  /** Resize planning with pure integer-safe math: fit (w, h) into a
+    * box×box square preserving aspect ratio. Returns (new_w, new_h).
+    * The pixel resample itself is decoder territory (the honest stub
+    * boundary); this is the metadata/partitioning side a batch image
+    * pipeline plans with. floor-of-double is exact here (values ≪ 2^53)
+    * and evaluates identically in DuckDB. */
+  def fitBox(w: Column, h: Column, box: Int): (Column, Column) = (
+    when(w >= h, lit(box.toLong)).otherwise(floor(w * box / h).cast("long")),
+    when(w >= h, floor(h * box / w).cast("long")).otherwise(lit(box.toLong)))
 
   /** Batched decode over a (id: Long, payload: binary) DataFrame. Decoder
     * constructed once per partition. */
