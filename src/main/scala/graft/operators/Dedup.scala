@@ -282,14 +282,22 @@ object Dedup {
     var converged = edges.isEmpty
     var it = 0
     while (!converged && it < maxIters) {
+      // Each round costs exactly THREE exchanges: an explicit
+      // repartition(u) ahead of each star feeds both its groupBy-min and
+      // its join off the same exchange (ReuseExchange — without it the
+      // join re-shuffles and the star input computes twice), and the
+      // round's single distinct dedups both stars' output multiplicity
+      // at once (large-star needs no distinct of its own: duplicate
+      // edges don't perturb min()).
       // large-star: for each node u, hang every LARGER neighbor off
       // m = min(N(u) ∪ {u}) — output keeps the (larger, smaller) orientation
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val lmin = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = sym.join(lmin, "u").where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(col("u"))
       // small-star: all neighbors of u are smaller here; hang u and every
       // non-min neighbor off m = min(N(u))
       val smin = large.groupBy("u").agg(min("v").as("m"))
