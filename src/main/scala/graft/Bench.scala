@@ -149,6 +149,10 @@ object Bench {
     private var consumedNs = 0L
     def await(): Unit = {
       if (ref <= 0) return
+      // a spent budget must also skip the INITIAL probe — each probe is a
+      // child-JVM spin-up + best-of-4 run (~12-20 s) that would overshoot
+      // the documented gating bound with nothing left to act on
+      if (consumedNs >= budgetNs) return
       val t0 = System.nanoTime()
       try {
         var r = probe()

@@ -49,6 +49,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(v: Int, IntegerType) => v
           case Literal(v: Short, ShortType) => v.toInt
           case Literal(v: Byte, ByteType) => v.toInt
+          // the builder runs BEFORE ConstantFolding, so `2+2` or
+          // `CAST(4 AS INT)` arrive as foldable non-Literals — evaluate
+          // them rather than rejecting working SQL
+          case other if other.foldable &&
+              (other.dataType == IntegerType || other.dataType == ShortType ||
+               other.dataType == ByteType) =>
+            other.eval() match {
+              case v: Int => v
+              case v: Short => v.toInt
+              case v: Byte => v.toInt
+              case _ => throw new org.apache.spark.sql.AnalysisException(
+                "INVALID_PARAMETER_VALUE.INTEGER",
+                Map("parameter" -> "numPerms", "functionName" -> "minhash_sigs",
+                  "invalidValue" -> other.sql))
+            }
           case other => throw new org.apache.spark.sql.AnalysisException(
             "INVALID_PARAMETER_VALUE.INTEGER",
             Map("parameter" -> "numPerms", "functionName" -> "minhash_sigs",

@@ -423,7 +423,7 @@ object Queries {
       // ≥ 0.6 by integer cross-multiplication (no float parity risk):
       // n_common / (n_a + n_b - n_common) >= 0.6
       Dedup.ngramJaccardVerified(augmented(s, dir), "doc_id", "text")
-        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -443,7 +443,7 @@ object Queries {
       // 64-bit hashes not DuckDB-reproducible); dd_ngram_jaccard is the
       // oracle-exact twin of the same two-stage shape.
       Dedup.jaccardVerifiedNative(augmented(s, dir), "doc_id", "text")
-        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -469,7 +469,7 @@ object Queries {
       // (O(log² n) rounds; see Dedup.connectedComponents). DuckDB oracle =
       // WITH RECURSIVE reachability over the same verified edges.
       val ver = Dedup.ngramJaccardVerified(augmented(s, dir), "doc_id", "text")
-        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
       Dedup.connectedComponents(ver, "id_a", "id_b")
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
@@ -498,7 +498,7 @@ object Queries {
           size(array_intersect(col("shl_n"), col("shl_b"))).cast("long").as("c"),
           size(col("shl_n")).cast("long").as("na"),
           size(col("shl_b")).cast("long").as("nb"))
-        .filter(col("c") * 10 >= (col("na") + col("nb") - col("c")) * 6)
+        .filter(Dedup.jaccardAtLeast(col("c"), col("na"), col("nb")))
       batch.select(col("doc_id"))
         .join(ver.select(col("id_new").as("doc_id"), col("id_base")), Seq("doc_id"), "left")
         .groupBy(col("doc_id"))
@@ -516,7 +516,7 @@ object Queries {
       // replays the identical chain with a recursive CTE.
       val aug = augmented(s, dir)
       val ver = Dedup.ngramJaccardVerified(aug, "doc_id", "text")
-        .filter(col("n_common") * 10 >= (col("n_a") + col("n_b") - col("n_common")) * 6)
+        .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
       val losers = Dedup.connectedComponents(ver, "id_a", "id_b")
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
@@ -950,7 +950,7 @@ object Queries {
         |ORDER BY id_a, id_b""".stripMargin),
 
     "dd_ngram_jaccard" -> Queries.minhashOracle(
-      """cand AS (
+      s"""cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id)
@@ -961,12 +961,12 @@ object Queries {
         |FROM cand
         |JOIN sets sa ON sa.doc_id = id_a
         |JOIN sets sb ON sb.doc_id = id_b
-        |WHERE len(list_intersect(sa.shl, sb.shl)) * 10
-        |      >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6
+        |WHERE ${Dedup.jaccardAtLeastSql(
+                  "len(list_intersect(sa.shl, sb.shl))", "len(sa.shl)", "len(sb.shl)")}
         |ORDER BY id_a, id_b""".stripMargin, extraCte = true),
 
     "dd_components" -> Queries.minhashOracle(
-      """cand AS (
+      s"""cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id),
@@ -975,8 +975,8 @@ object Queries {
         |  FROM cand
         |  JOIN sets sa ON sa.doc_id = id_a
         |  JOIN sets sb ON sb.doc_id = id_b
-        |  WHERE len(list_intersect(sa.shl, sb.shl)) * 10
-        |        >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6),
+        |  WHERE ${Dedup.jaccardAtLeastSql(
+                  "len(list_intersect(sa.shl, sb.shl))", "len(sa.shl)", "len(sb.shl)")}),
         |sym AS (SELECT id_a AS u, id_b AS v FROM ver
         |        UNION SELECT id_b, id_a FROM ver),
         |walk AS (
@@ -989,7 +989,7 @@ object Queries {
       extraCte = true, recursive = true),
 
     "dd_incremental" -> Queries.minhashOracle(
-      """cand AS (
+      s"""cand AS (
         |  SELECT b.doc_id AS id_new, a.doc_id AS id_base
         |  FROM bands a JOIN bands b
         |    ON a.band = b.band AND a.digest = b.digest
@@ -999,8 +999,8 @@ object Queries {
         |  FROM cand
         |  JOIN sets sn ON sn.doc_id = id_new
         |  JOIN sets sb ON sb.doc_id = id_base
-        |  WHERE len(list_intersect(sn.shl, sb.shl)) * 10
-        |        >= (len(sn.shl) + len(sb.shl) - len(list_intersect(sn.shl, sb.shl))) * 6)
+        |  WHERE ${Dedup.jaccardAtLeastSql(
+                  "len(list_intersect(sn.shl, sb.shl))", "len(sn.shl)", "len(sb.shl)")})
         |SELECT d.doc_id, MIN(v.id_base) AS dup_of
         |FROM (SELECT doc_id FROM aug WHERE doc_id >= 1000000) d
         |LEFT JOIN ver v ON v.id_new = d.doc_id
@@ -1012,6 +1012,7 @@ object Queries {
         |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
         |FROM documents,
         |  UNNEST(range(0, CAST((length(text)-1)//64 AS BIGINT) + 1, 2)) AS t(i)
+        |WHERE length(text) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_resize_meta" ->
@@ -1107,8 +1108,8 @@ object Queries {
            |  FROM cand
            |  JOIN sets sa ON sa.doc_id = id_a
            |  JOIN sets sb ON sb.doc_id = id_b
-           |  WHERE len(list_intersect(sa.shl, sb.shl)) * 10
-           |        >= (len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl))) * 6),
+           |  WHERE ${Dedup.jaccardAtLeastSql(
+                     "len(list_intersect(sa.shl, sb.shl))", "len(sa.shl)", "len(sb.shl)")}),
            |sym AS (SELECT id_a AS u, id_b AS v FROM ver
            |        UNION SELECT id_b, id_a FROM ver),
            |walk AS (

@@ -53,6 +53,18 @@ object Dedup {
     s"list_transform(range(1, len($wordsAlias) - ${n - 2}), i -> $parts)"
   }
 
+  /** Integer cross-multiplied Jaccard threshold — |A∩B| / |A∪B| ≥ num/den
+    * with no float parity risk. The ONE place the dedup-verification
+    * predicate lives (queries and oracles share these constants). */
+  def jaccardAtLeast(common: Column, na: Column, nb: Column,
+      num: Int = 6, den: Int = 10): Column =
+    common * den >= (na + nb - common) * num
+
+  /** The same predicate as an SQL fragment over the given expressions. */
+  def jaccardAtLeastSql(common: String, na: String, nb: String,
+      num: Int = 6, den: Int = 10): String =
+    s"$common * $den >= ($na + $nb - $common) * $num"
+
   /** Exact dedup: group identical normalized texts by md5 fingerprint;
     * output (hash, keeper=min id, n_dups). One shuffle on the digest. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -162,10 +174,15 @@ object Dedup {
     * ANN index appends). */
   def appendBandIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
-    bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
-      .write.mode("append").parquet(s"$path/bands")
+    // sets FIRST: the completeness marker (sets/_SUCCESS) predates an
+    // append, so a torn append must err on the harmless side — an orphan
+    // set row never produces a candidate, but an orphan BAND row would
+    // generate candidates whose verification join silently drops them
+    // (a true duplicate ingested as new, no error anywhere)
     batch.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"))
       .write.mode("append").parquet(s"$path/sets")
+    bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   /** Incremental dedup candidates: probe a new batch's band rows against a
@@ -279,7 +296,7 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
     var sum = checksum(edges)
-    var converged = edges.isEmpty
+    var converged = sum._1 == 0L // count from the checksum — no extra job
     var it = 0
     while (!converged && it < maxIters) {
       // Each round costs exactly THREE exchanges: an explicit
@@ -313,6 +330,11 @@ object Dedup {
       edges = small
       it += 1
     }
+    // a silently-unconverged forest would report one component as several
+    // (and let duplicates survive curation) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters rounds " +
+        s"(${sum._1} edges remain); raise maxIters")
     // fixpoint is a forest of stars (node → component min); add the roots
     edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))

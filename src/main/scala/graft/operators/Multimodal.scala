@@ -56,9 +56,10 @@ object Multimodal {
     * is a BYTE range into the media payload behind the `Decoder` seam; the
     * sandbox payload is the documents' text (DuckDB has no BLOB substring,
     * so character windows keep the oracle value-exact).
-    * Rows with an empty payload produce no frames (matching the oracle's
-    * empty `range()`); Spark's `sequence` would reject the descending
-    * bounds, so they are filtered first. */
+    * Rows with an empty payload produce no frames (Spark's `sequence`
+    * would reject the descending bounds, so they are filtered first; any
+    * SQL oracle must filter them too — integer division by truncation
+    * makes `(-1)/F = 0`, which would emit a spurious frame 0). */
   def frameSample(df: DataFrame, idCol: String, payloadCol: String,
       frameChars: Int = 256, everyK: Int = 3): DataFrame = {
     val maxIdx = floor((length(col(payloadCol)) - 1) / frameChars).cast("long")

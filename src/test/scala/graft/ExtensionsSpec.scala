@@ -70,5 +70,12 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT minhash_sigs('a b c d', 4L)").collect()
     }
     assert(e2.getMessage.contains("minhash_sigs"))
+    // FOLDABLE non-literal INT args are legal SQL and must keep working —
+    // the builder runs before ConstantFolding, so `2+2` / `CAST(4 AS INT)`
+    // arrive unfolded (round-3 review finding)
+    val f1 = spark.sql("SELECT minhash_sigs('a b c d e', 2+2) AS s").head().getSeq[Long](0)
+    assert(f1.length == 4)
+    val f2 = spark.sql("SELECT minhash_sigs('a b c d e', CAST(4 AS INT)) AS s").head().getSeq[Long](0)
+    assert(f2 == f1, "foldable forms must produce the literal form's signatures")
   }
 }
