@@ -370,6 +370,25 @@ object Queries {
         .orderBy(col("lang"))
     }),
 
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub (training-data hygiene): deterministic synthetic PII is
+      // appended per doc (the corpus itself contains none — a redaction
+      // query over it would be vacuous), then emails/phones are counted
+      // and redacted with placeholder tokens; output carries the counts
+      // and the md5 of the redacted text. Pure per-row regex work inside
+      // whole-stage codegen — no shuffle except the output sort.
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      val counts = TextOps.piiCountCols(withPii)
+        .map { case (n, c) => c.cast("long").as(n) }
+      docs(s, dir)
+        .select(col("doc_id") +: counts :+
+          md5(TextOps.redactPiiCol(withPii).cast("binary")).as("redacted_fp"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q_sample_strat" -> ((s, dir) => {
       // deterministic stratified downsample (corpus rebalancing): keep 30%
       // of English, all of Chinese, 60% of everything else — selection is a
@@ -1006,6 +1025,20 @@ object Queries {
         |LEFT JOIN ver v ON v.id_new = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
       extraCte = true),
+
+    "q_pii_redact" -> {
+      val counts = TextOps.piiCountSql("t")
+        .map { case (n, e) => s"CAST($e AS BIGINT) AS $n" }.mkString(",\n  ")
+      s"""WITH pii AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com or call 555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  $counts,
+         |  md5(${TextOps.redactPiiSql("t")}) AS redacted_fp
+         |FROM pii ORDER BY doc_id""".stripMargin
+    },
 
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,

@@ -101,6 +101,28 @@ object TextOps {
   def tokenCountSql(e: String): String =
     s"len(regexp_extract_all($e, '${TokenPattern.replace("\\", "\\\\")}'))"
 
+  /** PII scrub (training-data hygiene): redact emails and simple phone
+    * shapes with placeholder tokens, plus match counts for reporting.
+    * The patterns use only RE2-safe constructs (character classes +
+    * bounded repetition, no lookaround) so a DuckDB oracle evaluates the
+    * SAME regexes; a real deployment extends the pattern set per policy.
+    * Redaction order: emails first (the placeholder contains no digits,
+    * so it can never create a new phone match). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[- ][0-9]{4}"
+  def redactPiiCol(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+  def piiCountCols(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))))
+  def redactPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace($e, '$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$PhonePattern', '<PHONE>', 'g')"
+  def piiCountSql(e: String): Seq[(String, String)] = Seq(
+    "n_emails" -> s"len(regexp_extract_all($e, '$EmailPattern'))",
+    "n_phones" -> s"len(regexp_extract_all($e, '$PhonePattern'))")
+
   /** Document fingerprint: md5 over the whitespace-normalized lowercase text
     * (deterministic, engine-portable; prod would use xxhash64). */
   def fingerprintCol(text: Column): Column =

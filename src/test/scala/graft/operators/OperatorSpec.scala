@@ -67,6 +67,26 @@ class OperatorSpec extends AnyFunSuite {
       assert(native(k) == hof(k), s"pair $k: native=${native(k)} hof=${hof(k)}")
   }
 
+  test("PII redaction: emails and phone shapes out, counts match, idempotent") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "write to a.b+c@sub.example.org or x@y.io, call 555-0199 or 555 0200 today"),
+      (2L, "no pii here at all"),
+      (3L, "already <EMAIL> redacted")
+    ).toDF("doc_id", "text")
+    val out = rows.select(Seq(col("doc_id"),
+        TextOps.redactPiiCol(col("text")).as("red")) ++
+        TextOps.piiCountCols(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out(1L) == (("write to <EMAIL> or <EMAIL>, call <PHONE> or <PHONE> today", 2, 2)), out(1L))
+    assert(out(2L) == (("no pii here at all", 0, 0)))
+    assert(out(3L) == (("already <EMAIL> redacted", 0, 0)))
+    // idempotent: redacting redacted text changes nothing
+    val twice = rows.select(TextOps.redactPiiCol(TextOps.redactPiiCol(col("text"))).as("r"))
+      .as[String].collect().toSet
+    assert(twice == out.values.map(_._1).toSet)
+  }
+
   test("stratified sample: deterministic, partition-layout independent, honors rates") {
     import spark.implicits._
     val rows = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "lang")
