@@ -55,7 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other if other.foldable &&
               (other.dataType == IntegerType || other.dataType == ShortType ||
                other.dataType == ByteType) =>
-            other.eval() match {
+            // eval() of a foldable can itself throw under ANSI (e.g.
+            // CAST('abc' AS INT)) — keep the clean analysis error
+            (try other.eval()
+            catch { case _: Exception => null }) match {
               case v: Int => v
               case v: Short => v.toInt
               case v: Byte => v.toInt

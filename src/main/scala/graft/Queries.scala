@@ -650,7 +650,7 @@ object Queries {
       // generate, no shuffle, no decoder. 64/2 so the fixture texts
       // (~60-600 chars) produce real multi-frame strides, not all frame 0
       Multimodal.frameSample(docs(s, dir), "doc_id", "text",
-          frameChars = 64, everyK = 2)
+          frameChars = FrameChars, everyK = FrameStep)
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -660,9 +660,9 @@ object Queries {
       // math; the pixel resample lives behind the Decoder seam
       val h = md5(col("text").cast("binary"))
       val d = docs(s, dir).select(col("doc_id"),
-        (conv(substring(h, 1, 4), 16, 10).cast("long") % 1600 + 320).as("w0"),
-        (conv(substring(h, 5, 4), 16, 10).cast("long") % 900 + 240).as("h0"))
-      val (nw, nh) = Multimodal.fitBox(col("w0"), col("h0"), 512)
+        (conv(substring(h, 1, 4), 16, 10).cast("long") % DimWMod + DimWBase).as("w0"),
+        (conv(substring(h, 5, 4), 16, 10).cast("long") % DimHMod + DimHBase).as("h0"))
+      val (nw, nh) = Multimodal.fitBox(col("w0"), col("h0"), ResizeBox)
       d.select(col("doc_id"), col("w0"), col("h0"), nw.as("new_w"), nh.as("new_h"))
         .orderBy(col("doc_id"))
     }),
@@ -706,6 +706,14 @@ object Queries {
        |)${if (extraCte) "," else ""}
        |$tail""".stripMargin
   }
+
+  // mm_frame_sample / mm_resize_meta constants — ONE source for the
+  // Spark query and its oracle (drift in either silently breaks parity)
+  private val FrameChars = 64
+  private val FrameStep = 2
+  private val DimWBase = 320; private val DimWMod = 1600
+  private val DimHBase = 240; private val DimHMod = 900
+  private val ResizeBox = 512
 
   /** DuckDB SQL for the integer value of `nDigits` hex digits of `h`
     * starting at 1-based `start` (DuckDB has no conv(); built from
@@ -1041,24 +1049,24 @@ object Queries {
     },
 
     "mm_frame_sample" ->
-      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |  md5(substring(text, CAST(i*64+1 AS BIGINT), 64)) AS frame_md5
-        |FROM documents,
-        |  UNNEST(range(0, CAST((length(text)-1)//64 AS BIGINT) + 1, 2)) AS t(i)
-        |WHERE length(text) > 0
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  md5(substring(text, CAST(i*$FrameChars+1 AS BIGINT), $FrameChars)) AS frame_md5
+         |FROM documents,
+         |  UNNEST(range(0, CAST((length(text)-1)//$FrameChars AS BIGINT) + 1, $FrameStep)) AS t(i)
+         |WHERE length(text) > 0
+         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_resize_meta" ->
       s"""WITH dims AS (
          |  SELECT doc_id,
-         |    ${Queries.hexValSql("md5(text)", 1, 4)} % 1600 + 320 AS w0,
-         |    ${Queries.hexValSql("md5(text)", 5, 4)} % 900 + 240 AS h0
+         |    ${Queries.hexValSql("md5(text)", 1, 4)} % $DimWMod + $DimWBase AS w0,
+         |    ${Queries.hexValSql("md5(text)", 5, 4)} % $DimHMod + $DimHBase AS h0
          |  FROM documents)
          |SELECT doc_id, w0, h0,
-         |  CASE WHEN w0 >= h0 THEN 512
-         |       ELSE CAST(floor(w0 * 512 / h0) AS BIGINT) END AS new_w,
-         |  CASE WHEN w0 >= h0 THEN CAST(floor(h0 * 512 / w0) AS BIGINT)
-         |       ELSE 512 END AS new_h
+         |  CASE WHEN w0 >= h0 THEN $ResizeBox
+         |       ELSE CAST(floor(w0 * $ResizeBox / h0) AS BIGINT) END AS new_w,
+         |  CASE WHEN w0 >= h0 THEN CAST(floor(h0 * $ResizeBox / w0) AS BIGINT)
+         |       ELSE $ResizeBox END AS new_h
          |FROM dims ORDER BY doc_id""".stripMargin,
 
     "q_sample_strat" ->

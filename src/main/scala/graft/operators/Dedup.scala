@@ -60,10 +60,12 @@ object Dedup {
       num: Int = 6, den: Int = 10): Column =
     common * den >= (na + nb - common) * num
 
-  /** The same predicate as an SQL fragment over the given expressions. */
+  /** The same predicate as an SQL fragment over the given expressions
+    * (operands parenthesized — a compound argument must not rebind via
+    * operator precedence). */
   def jaccardAtLeastSql(common: String, na: String, nb: String,
       num: Int = 6, den: Int = 10): String =
-    s"$common * $den >= ($na + $nb - $common) * $num"
+    s"($common) * $den >= (($na) + ($nb) - ($common)) * $num"
 
   /** Exact dedup: group identical normalized texts by md5 fingerprint;
     * output (hash, keeper=min id, n_dups). One shuffle on the digest. */
@@ -174,15 +176,30 @@ object Dedup {
     * ANN index appends). */
   def appendBandIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
-    // sets FIRST: the completeness marker (sets/_SUCCESS) predates an
-    // append, so a torn append must err on the harmless side — an orphan
-    // set row never produces a candidate, but an orphan BAND row would
-    // generate candidates whose verification join silently drops them
-    // (a true duplicate ingested as new, no error anywhere)
+    // NOT atomic on a plain filesystem: a crash between the two appends
+    // leaves a doc in one table but not the other, and EITHER torn state
+    // silently misses that doc's future duplicates (sets-only → no band
+    // collisions; bands-only → verification join drops the candidate).
+    // Production puts both tables in one Iceberg transaction (the same
+    // atomicity story as the output sink); here, detect a torn append
+    // with `checkIndexConsistency` and re-append or rebuild. Re-appending
+    // the same batch is correctness-safe: downstream distinct/min dedups
+    // the doubled rows (at the cost of index size).
     batch.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"))
       .write.mode("append").parquet(s"$path/sets")
     bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
       .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** Maintenance check for a band index: ids present in exactly one of
+    * bands/sets (the torn-append signature). Empty result = consistent.
+    * A full-index scan — run it after a suspect append, not per probe. */
+  def checkIndexConsistency(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, idCol: String): DataFrame = {
+    val bandIds = spark.read.parquet(s"$indexPath/bands").select(col(idCol)).distinct()
+    val setIds = spark.read.parquet(s"$indexPath/sets").select(col(idCol)).distinct()
+    bandIds.exceptAll(setIds).select(col(idCol), lit("bands_only").as("state"))
+      .unionAll(setIds.exceptAll(bandIds).select(col(idCol), lit("sets_only").as("state")))
   }
 
   /** Incremental dedup candidates: probe a new batch's band rows against a

@@ -148,6 +148,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(viaAppend.contains((102L, 1L)), s"base doc must stay probe-visible: $viaAppend")
   }
 
+  test("index consistency check flags a torn append; re-append recovers") {
+    import spark.implicits._
+    val base = corpus.filter(col("doc_id") <= 3)
+    val day2 = Seq((8L, "entirely new prose about deep sea vents and chemosynthetic bacteria colonies"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("torn").toString + "/idx"
+    Dedup.buildBandIndex(base, "doc_id", "text", path)
+    // simulate the torn state appendBandIndex documents: sets landed,
+    // crash before bands
+    day2.select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("shl"))
+      .write.mode("append").parquet(s"$path/sets")
+    val torn = Dedup.checkIndexConsistency(spark, path, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(torn == Set((8L, "sets_only")), s"torn state must be flagged: $torn")
+    // documented recovery: re-append the batch (downstream distinct/min
+    // absorbs the doubled set rows), then the index is consistent again
+    Dedup.appendBandIndex(day2, "doc_id", "text", path)
+    assert(Dedup.checkIndexConsistency(spark, path, "doc_id").isEmpty)
+    val probe = Dedup.probeBandIndex(spark, path,
+        day2.select((col("doc_id") + 100).as("doc_id"), col("text")), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == Set((108L, 8L)), s"recovered doc must be probe-visible exactly once: $probe")
+  }
+
   test("connected components: chains, triangles, singleton edges resolve to min id") {
     import spark.implicits._
     // one 5-node PATH (worst case for naive propagation — needs >1 star
