@@ -370,6 +370,29 @@ object Queries {
         .orderBy(col("lang"))
     }),
 
+    "q_jsonl_source" -> ((s, dir) => {
+      // schema-pinned JSONL ingest round-trip: the documents table is
+      // materialized as newline-delimited JSON (once, content-fp-keyed),
+      // re-ingested through sources.Jsonl (pinned schema, PERMISSIVE
+      // corrupt-record quarantine — never inferred, never silently
+      // dropped), and summarized per lang with a content checksum. The
+      // oracle makes DuckDB read the SAME files, so any serialization or
+      // parsing divergence fails the hash.
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+      val r = graft.sources.Jsonl.read(s, jsonlPath(s, dir), schema)
+      r.good.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).as("sum_textfp"))
+        .orderBy(col("lang"))
+    }),
+
     "q_pii_redact" -> ((s, dir) => {
       // PII scrub (training-data hygiene): deterministic synthetic PII is
       // appended per doc (the corpus itself contains none — a redaction
@@ -806,7 +829,31 @@ object Queries {
     val cents = ivfCentroids(s, dir)
     val probed = Similarity.probedClusters(queryVector(s, dir), cents, nprobe = 2)
     val sql = Similarity.ivfOracleSql(cents, probed, k = 10)
-    Map("ann_ivf" -> sql, "ann_ivf_indexed" -> sql)
+    Map("ann_ivf" -> sql, "ann_ivf_indexed" -> sql,
+      // dynamic because the materialized jsonl path embeds a content
+      // fingerprint; DuckDB reads the very files Spark ingested
+      "q_jsonl_source" ->
+        s"""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  SUM(${hexValSql("md5(text)", 1, 8)}) AS sum_textfp
+           |FROM read_json('${jsonlPath(s, dir)}/*.json',
+           |  format='newline_delimited',
+           |  columns={doc_id:'BIGINT', text:'VARCHAR', lang:'VARCHAR',
+           |           source:'VARCHAR', n_chars:'BIGINT'})
+           |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  /** Materialized JSONL derivation of the documents table (content-fp-keyed
+    * like the ANN indexes) — the input for the schema-pinned ingest query. */
+  private def jsonlPath(s: SparkSession, dir: String): String = {
+    val root = s"${docsIndexRoot(dir)}/jsonl"
+    ensureIndex(root) {
+      docs(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .coalesce(4)
+        .write.mode("overwrite").json(root)
+    }
+    root
   }
 
   // ----------------------------------------------------------------- oracle
