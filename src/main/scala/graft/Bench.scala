@@ -364,14 +364,27 @@ object Bench {
       .mkString("{", ",", "}")
     val totalSec = timings.filter(_._2 >= 0).map(_._2).sum
     val head = primary.getOrElse(Scaling(nLow, nLow * 4, 0, 0, 0, Nil))
-    // headline throughput = best rate observed at ANY level this run (the
-    // 8-core leg of the 8→32 pair usually wins; keeps the number comparable
-    // across rounds even though the primary scaling pair is now 1→4)
-    val headline = math.max(head.rateHigh,
-      contract.map(c => math.max(c.rateLow, c.rateHigh)).getOrElse(0.0))
+    // headline throughput = the 8-CORE leg's best observed rate — one FIXED
+    // level, so round-over-round comparisons are like-for-like (round-3
+    // advice: the previous max() over several noisy levels upward-biased
+    // the headline). Every measured level's best rate is exposed in
+    // "rates" and "headline_level" names the level behind "value"; if no
+    // 8-core leg ran (GRAFT_BENCH_ROUNDS_8_32=0) the primary pair's high
+    // leg is reported and labeled as such.
+    val levelRates = scala.collection.mutable.SortedMap.empty[Int, Double]
+    def record(level: Int, rate: Double): Unit =
+      if (rate > 0) levelRates(level) = math.max(levelRates.getOrElse(level, 0.0), rate)
+    primary.foreach { p => record(p.nLow, p.rateLow); record(p.nHigh, p.rateHigh) }
+    contract.foreach { c => record(c.nLow, c.rateLow); record(c.nHigh, c.rateHigh) }
+    val headlineLevel =
+      if (levelRates.contains(8)) 8 else head.nHigh
+    val headline = levelRates.getOrElse(headlineLevel, 0.0)
+    val ratesJson = levelRates
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"documents/sec extraction throughput (interleaved corpus, medium level; primary scaling pair local[${head.nHigh}] vs local[${head.nLow}], secondary pair local[32] vs local[8], headline rate = best level observed)",""" +
+      s"""{"metric":"documents/sec extraction throughput (interleaved corpus, medium level; primary scaling pair local[${head.nHigh}] vs local[${head.nLow}], secondary pair local[32] vs local[8], headline rate = best observed at the FIXED headline_level)",""" +
       s""""value":${f"$headline%.1f"},"unit":"docs/sec",""" +
+      s""""headline_level":$headlineLevel,"rates":$ratesJson,""" +
       s""""scaling":${primary.map(p => scalingJson(p).dropRight(1) + s""","num_docs":$numDocs}""").getOrElse("null")},""" +
       s""""scaling_8_32":${contract.map(scalingJson).getOrElse("null")},""" +
       s""""calibration":${gateOpt.map(_.json).getOrElse("null")},""" +

@@ -19,7 +19,17 @@ import org.apache.spark.sql.functions._
   * then `mod buckets` (both engines evaluate it in exact BIGINT math, so
   * the DuckDB oracle reproduces the selection bit-for-bit; md5 would also
   * be portable but costs ~20× more per row for no statistical benefit
-  * here). Safe from BIGINT overflow for ids < ~3.4e9; guard documented.
+  * here).
+  *
+  * Overflow-safe for ALL non-negative BIGINT ids (round-3 advice): the id
+  * is first reduced mod 2^32, then the multiply runs in 16-bit halves so
+  * every intermediate stays < 2^49 — Spark would silently wrap a direct
+  * `id*K` product past 2^63 while DuckDB raises on BIGINT overflow, which
+  * for ids ≥ ~3.4e9 made the engine select via a wrapped hash the oracle
+  * could not even evaluate. The split form is mathematically identical to
+  * `(id mod 2^32 · K) mod 2^32` for every id, so selections made by the
+  * previous form (ids < 2^32) are unchanged. Negative ids remain out of
+  * contract (Spark pmod vs SQL % disagree on sign).
   */
 object Sampling {
 
@@ -27,13 +37,25 @@ object Sampling {
   private val KnuthMul = 2654435761L
   private val TwoPow32 = 4294967296L
 
-  /** Deterministic bucket in [0, buckets) from a numeric id column. */
-  def hashBucket(id: Column, buckets: Int): Column =
-    pmod(pmod(id.cast("long") * lit(KnuthMul), lit(TwoPow32)), lit(buckets.toLong))
+  /** Deterministic bucket in [0, buckets) from a numeric id column.
+    * All intermediates bounded: hi,lo < 2^16 after the mod-2^32 reduction,
+    * hi·K < 2^48, (hi·K mod 2^32)·2^16 < 2^48, sum < 2^49. */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val id32 = pmod(id.cast("long"), lit(TwoPow32))
+    val hi = shiftright(id32, 16)
+    val lo = id32.bitwiseAND(lit(65535L))
+    val prod = pmod(
+      pmod(hi * lit(KnuthMul), lit(TwoPow32)) * lit(65536L) + lo * lit(KnuthMul),
+      lit(TwoPow32))
+    pmod(prod, lit(buckets.toLong))
+  }
 
-  /** The same expression as DuckDB SQL (for oracle parity). */
-  def hashBucketSql(idExpr: String, buckets: Int): String =
-    s"(($idExpr * $KnuthMul) % $TwoPow32) % $buckets"
+  /** The same split-multiply expression as DuckDB SQL (oracle parity;
+    * DuckDB `>>`/`&`/`%` on BIGINT match Spark's for non-negative values). */
+  def hashBucketSql(idExpr: String, buckets: Int): String = {
+    val id32 = s"(($idExpr) % $TwoPow32)"
+    s"((((($id32 >> 16) * $KnuthMul) % $TwoPow32) * 65536 + ($id32 & 65535) * $KnuthMul) % $TwoPow32) % $buckets"
+  }
 
   /** Stratified sample: keep a row iff its hash bucket (out of 100) falls
     * below the stratum's percentage rate. Strata absent from `rates` fall

@@ -378,18 +378,20 @@ object Similarity {
     * Recall is the LSH curve: ≥ 0.98 for true near-dups (cos ≥ 0.9) at the
     * defaults; lower thresholds trade recall for pruning (document, don't
     * hide). Deterministic: plane signs are hash-derived constants shared
-    * with the DuckDB oracle (`srpNearDupOracleSql`). */
+    * with the DuckDB oracle (`srpNearDupOracleSql`).
+    *
+    * `maxBucket` > 0 enables the hot-bucket star guard
+    * (`Dedup.bandedCandidates`): identical embeddings land in identical
+    * band keys across ALL bands, so a corpus with 10⁶ copies of one vector
+    * would otherwise make the self-join quadratic inside those buckets —
+    * the guard emits (bucket-min, other) star pairs for oversized buckets,
+    * which exact-dot verification accepts for true duplicates (dot = 1). */
   def srpNearDupPairs(embeddings: DataFrame, idCol: String, embCol: String,
-      theta: Double, bands: Int = 8, bitsPerBand: Int = 6, dims: Int = 64): DataFrame = {
+      theta: Double, bands: Int = 8, bitsPerBand: Int = 6, dims: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
     val keyed = srpBandKeyRows(embeddings, idCol, embCol, bands, bitsPerBand, dims)
       .repartition(col("band"), col("key"))
-    val a = keyed.as("a")
-    val b = keyed.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+    val cand = Dedup.bandedCandidates(keyed, idCol, Seq("band", "key"), maxBucket)
     val vecs = embeddings.select(col(idCol), col(embCol))
     // native primitive-loop dot (graft.functions.DotF): bit-identical to
     // the aggregate(zip_with(...)) fold (same casts + order) but no boxed

@@ -155,13 +155,14 @@ class OperatorSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val path = java.nio.file.Files.createTempDirectory("torn").toString + "/idx"
     Dedup.buildBandIndex(base, "doc_id", "text", path)
-    // simulate the torn state appendBandIndex documents: sets landed,
-    // crash before bands
-    day2.select(col("doc_id"), array_distinct(Dedup.shingles(col("text"))).as("shl"))
-      .write.mode("append").parquet(s"$path/sets")
+    // simulate the torn state appendBandIndex documents: bands landed
+    // (bands/ is appended FIRST, matching the build-path ordering where
+    // sets/ last marks completeness — round-3 advice), crash before sets
+    Dedup.bandRows(day2, "doc_id", "text")
+      .write.mode("append").parquet(s"$path/bands")
     val torn = Dedup.checkIndexConsistency(spark, path, "doc_id")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(torn == Set((8L, "sets_only")), s"torn state must be flagged: $torn")
+    assert(torn == Set((8L, "bands_only")), s"torn state must be flagged: $torn")
     // documented recovery: re-append the batch (downstream distinct/min
     // absorbs the doubled set rows), then the index is consistent again
     Dedup.appendBandIndex(day2, "doc_id", "text", path)
