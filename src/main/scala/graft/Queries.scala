@@ -111,6 +111,42 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming-EXECUTED near-dup contract query: `StreamOps.nearDupStream`
+    * (band-digest-keyed cross-batch state) over the augmented corpus in two
+    * micro-batches — originals then the +1,000,000 copies, so every copy's
+    * collision is found by STATE from a previous batch, not a within-batch
+    * join. Per-doc resolution (min base across bands) runs in the batch
+    * read-back of the sink (a stateful flatMap + streaming agg is a
+    * restricted multi-stateful combination; the cross-batch state is the
+    * part that must stream). Output (doc_id, dup_of nullable) — the oracle
+    * replays the identical semantics as a batch LEFT-JOIN-min over the
+    * shared band CTEs. */
+  private def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = augmented(s, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    val (orig, dups) = rows.partition(_._1 < 1000000L)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val sink = s"dd_stream_near_sink_${streamSinkSeq.incrementAndGet()}"
+    val q = graft.streaming.StreamOps.nearDupStream(in.toDS())
+      .toDF("doc_id", "base")
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      in.addData(orig.toSeq); q.processAllAvailable()
+      in.addData(dups.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val cands = s.table(sink).groupBy(col("doc_id")).agg(min(col("base")).as("dup_of"))
+    augmented(s, dir).select(col("doc_id"))
+      .join(cands, Seq("doc_id"), "left")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence length for `pipe_pack` (tokens per packed training sequence;
+    * shared with the oracle SQL). */
+  private val PackSeqLen = 512
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -519,6 +555,27 @@ object Queries {
 
     "dd_stream_exact" -> ((s, dir) => streamExactDedup(s, dir)),
 
+    "dd_stream_near" -> ((s, dir) => streamNearDup(s, dir)),
+
+    "dd_decontam" -> ((s, dir) => {
+      // benchmark decontamination: corpus docs sharing any 3-gram shingle
+      // with the (deterministic) eval set are flagged with their smallest
+      // contaminating benchmark doc + the distinct-shingle overlap count.
+      // Eval set = originals with doc_id % 97 == 0; the corpus keeps those
+      // docs' +1e6 exact copies, so contamination is guaranteed present
+      // (a vacuous empty result would prove nothing) alongside any organic
+      // overlap. Benchmark side broadcasts (see Dedup.decontaminate).
+      val aug = augmented(s, dir)
+      val bench = docs(s, dir)
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = aug
+        .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("text"))
+      Dedup.decontaminate(corpus, bench, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_components" -> ((s, dir) => {
       // duplicate-CLUSTER resolution: the step after LSH + verify in a real
       // dedup job — verified near-dup pairs form a graph; every doc in a
@@ -628,6 +685,24 @@ object Queries {
         // returned 0 rows — a correct but vacuous oracle row)
         .filter(col("detected") === "portuguese" && col("n_words") >= lit(40L))
         .orderBy(col("doc_id"))
+    }),
+
+    "pipe_pack" -> ((s, dir) => {
+      // sequence packing for training (concat-and-chunk, the GPT-style
+      // packing where documents cross sequence boundaries): per SOURCE
+      // shard, documents are laid end-to-end in doc_id order and the
+      // token offset determines the training sequence each doc starts in.
+      // The window partitions by source — each shard packs independently,
+      // so the sort is per-shard (never a single global-order partition);
+      // at 10^12 docs each worker packs its own shard stream the same way
+      // and sequence assembly gathers by (source, seq_id) co-partitioned.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextOps.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+        .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .withColumn("seq_id", expr(s"start_off div $PackSeqLen"))
+        .orderBy(col("source"), col("doc_id"))
     }),
 
     // --- similarity search -----------------------------------------------
@@ -1215,6 +1290,44 @@ object Queries {
          |  SELECT doc_id, fp,
          |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "dd_stream_near" -> Queries.minhashOracle(
+      s"""cand AS (
+         |  SELECT a.doc_id, MIN(b.doc_id) AS dup_of
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.digest = b.digest AND b.doc_id < a.doc_id
+         |  GROUP BY a.doc_id)
+         |SELECT g.doc_id, c.dup_of
+         |FROM aug g LEFT JOIN cand c ON c.doc_id = g.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+      extraCte = true),
+
+    "dd_decontam" ->
+      s"""WITH $augmentedSql,
+         |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+         |corp AS (SELECT doc_id, text FROM aug
+         |         WHERE NOT (doc_id < 1000000 AND doc_id % 97 = 0)),
+         |cw AS (SELECT doc_id, ${Dedup.wordsSql("text")} AS wl FROM corp),
+         |cg AS (SELECT doc_id, unnest(list_distinct(${Dedup.shingleListSql("wl")})) AS g FROM cw),
+         |bw AS (SELECT doc_id AS bench_id, ${Dedup.wordsSql("text")} AS wl FROM bench),
+         |bg AS (SELECT bench_id, unnest(list_distinct(${Dedup.shingleListSql("wl")})) AS g FROM bw)
+         |SELECT cg.doc_id, MIN(bg.bench_id) AS contaminated_by,
+         |  COUNT(DISTINCT cg.g) AS n_shared
+         |FROM cg JOIN bg ON cg.g = bg.g
+         |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin,
+
+    "pipe_pack" ->
+      s"""SELECT doc_id, source, n_tokens, start_off,
+         |  start_off // $PackSeqLen AS seq_id
+         |FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - n_tokens AS BIGINT) AS start_off
+         |  FROM (SELECT doc_id, source,
+         |      CAST(${TextOps.tokenCountSql("text")} AS BIGINT) AS n_tokens
+         |    FROM documents))
+         |ORDER BY source, doc_id""".stripMargin,
 
     "pipe_curate" -> {
       val qsql = TextOps.qualitySql.toMap

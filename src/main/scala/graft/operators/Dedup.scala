@@ -486,6 +486,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination — flag corpus docs sharing any n-gram
+    * shingle with an evaluation/benchmark set: the step a training-data
+    * pipeline runs so eval answers don't leak into the training corpus
+    * (same shape as the n-gram-overlap decontamination described for GPT-3
+    * and The Pile). Output one row per CONTAMINATED corpus doc:
+    * (idCol, contaminated_by = min benchmark id, n_shared = number of
+    * distinct shared shingles).
+    *
+    * Scale shape: the benchmark side is SMALL (eval suites are 10^4-10^6
+    * docs) — its exploded distinct shingles broadcast, so the corpus side
+    * is a map-side hash probe over its own exploded shingles: no shuffle
+    * of corpus n-grams, no corpus self-join; the only exchange is the
+    * final per-doc aggregate, and only over rows that HIT the benchmark
+    * (contamination is rare, so that shuffle is tiny). */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cg = corpus.select(col(idCol),
+      explode(array_distinct(shingles(col(textCol)))).as("g"))
+    val bg = bench.select(col(idCol).as("bench_id"),
+      explode(array_distinct(shingles(col(textCol)))).as("g"))
+    cg.join(broadcast(bg), "g")
+      .groupBy(col(idCol))
+      .agg(min(col("bench_id")).as("contaminated_by"),
+        count_distinct(col("g")).as("n_shared"))
+  }
+
   /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the
     * scale-correct two-stage dedup (candidates from `minhashCandidates`,
     * exact |A∩B| via `array_intersect` on the per-doc shingle sets). Exact

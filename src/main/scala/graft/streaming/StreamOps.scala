@@ -97,6 +97,54 @@ object StreamOps {
       }
   }
 
+  /** Streaming NEAR-dup candidate detection — the continuous-ingest form of
+    * minhash-LSH banding (`Dedup.bandRows`): keyed by (band, digest), state
+    * = the smallest doc_id seen for that digest; every arriving band row
+    * whose digest was already seen by a smaller id emits
+    * (doc_id, base = that smaller id). Cross-micro-batch state does the
+    * work: a doc arriving days after its near-original still collides.
+    *
+    * Emission contract (what makes this BATCH-REPLAYABLE, hence
+    * oracle-exact): assuming ids are assigned in arrival order (an append
+    * log's natural property; within a micro-batch the group sorts by id),
+    * the per-doc minimum over emitted bases equals the batch semantics
+    * "smallest doc sharing any band digest with me, among docs before
+    * me" — the same LEFT-JOIN-min a batch engine computes over
+    * `minhashCandidates` output. Per-doc resolution (min across bands)
+    * happens in a batch read-back of the sink: a stateful flatMap followed
+    * by a streaming aggregation is still a restricted multi-stateful
+    * combination, and the cross-batch STATE is the part that needs to be
+    * streaming.
+    *
+    * State size: one long per distinct (band, digest) — 4 rows/doc at the
+    * defaults; at 10^12 docs you bound it with a TTL (the dedup-window
+    * trade every streaming pipeline makes; `GroupStateTimeout` slot is
+    * where that lands). Docs with < 3 words have null digests and are
+    * filtered out (they cannot collide in the batch form either). */
+  def nearDupStream(docs: Dataset[(Long, String)],
+      numPerms: Int = 8, rowsPerBand: Int = 2): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Dedup
+      .bandRows(docs.toDF("doc_id", "text"), "doc_id", "text", numPerms, rowsPerBand)
+      .filter(col("digest").isNotNull)
+      .select(col("band"), col("digest"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val ids = it.map(_._3).toArray.sorted
+          var m = state.getOption.getOrElse(Long.MaxValue)
+          val out = Vector.newBuilder[(Long, Long)]
+          for (id <- ids) {
+            if (m < id) out += ((id, m))
+            if (id < m) m = id
+          }
+          state.update(m)
+          out.result().iterator
+      }
+  }
+
   /** Incremental extraction: same kernel, streaming source → streaming sink.
     * `foreachBatch`-friendly; here expressed directly so the plan is a
     * streaming MapPartitions (engine init amortized per partition per

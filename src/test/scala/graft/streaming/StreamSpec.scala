@@ -106,6 +106,37 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: band-digest state finds cross-batch near duplicates") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = ("the quick brown fox jumps over the lazy dog while morning " +
+      "light crosses the quiet valley and birds begin their long careful " +
+      "song about rivers mountains forests meadows and the slow turning " +
+      "of the bright summer season")
+    val nearCopy = base.replace("careful", "gentle") // 1 of ~40 words
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupStream(in.toDS()).toDF("doc_id", "base")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("near_stream").start()
+    try {
+      in.addData((10L, base), (11L, "a completely unrelated document about " +
+        "industrial chemistry processes and the catalytic reduction of " +
+        "nitrogen compounds under high pressure in continuous reactors"))
+      q.processAllAvailable()
+      // batch 2: exact copy (all bands collide — guaranteed), a near copy
+      // (deterministic for these fixed strings), and a fresh doc
+      in.addData((20L, base), (21L, nearCopy), (22L, "tiny"))
+      q.processAllAvailable()
+      val dupOf = spark.table("near_stream")
+        .groupBy(col("doc_id")).agg(min(col("base")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dupOf.get(20L).contains(10L), s"exact copy must hit state: $dupOf")
+      assert(dupOf.get(21L).contains(10L), s"near copy must hit state: $dupOf")
+      assert(!dupOf.contains(10L) && !dupOf.contains(11L) && !dupOf.contains(22L),
+        s"firsts and sub-shingle docs must not emit: $dupOf")
+    } finally q.stop()
+  }
+
   test("session windows: gap-separated events form two sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
