@@ -27,6 +27,14 @@ final case class PageMedia(
 trait MediaStore extends Serializable {
   def pageCount(mediaRef: String): Int
   def page(mediaRef: String, pageNo: Int): PageMedia // 1-based pages (main.py:357)
+
+  /** Metadata-only byte-size estimate of a media object — the streaming
+    * analogue of the reference's Content-Length / mid-download 10 MB cap
+    * (`main.py:256-303`). Lets the size guard (`Extract.sizeSplit`) reject
+    * a 2 GB scanned PDF BEFORE any page decodes, not after the download.
+    * Default 0 = unknown (a store without cheap size metadata opts out and
+    * the text-payload guard alone applies). */
+  def byteEstimate(mediaRef: String): Long = 0L
 }
 
 /** Deterministic fixture MediaStore (FIXTURES.md §1): everything — page
@@ -68,6 +76,14 @@ object DeterministicMediaStore extends MediaStore {
     else if (idx % 8 == 5 && spanOffset(mediaRef) == 3) 2
     else 1
   }
+
+  /** Deterministic pseudo-size: ~4 KB per page + a hash-derived remainder.
+    * Every fixture doc stays far below the 10 MB guard (a 256-page mega ≈
+    * 1 MB), so adding the media term to the size guard changes no fixture
+    * outcome — the guard's media path is exercised by a spec-local store
+    * with an inflated estimate instead. */
+  override def byteEstimate(mediaRef: String): Long =
+    pageCount(mediaRef).toLong * 4096L + (Hash64(mediaRef) & 0xFFFL)
 
   /** Deterministic word salad for a page, ~`n` words, seeded by ref+page. */
   private def glyphText(mediaRef: String, pageNo: Int, n: Int): String = {

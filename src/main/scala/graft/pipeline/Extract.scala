@@ -189,16 +189,34 @@ object Extract {
     * `spans.text` lengths (stays inside the scan's codegen). The rejected
     * branch is a second filtered pass over the input; at the expected ~0
     * reject rate its scan is the cost of the guard's audit trail. */
-  def sizeSplit(spark: SparkSession, docs: Dataset[Doc], maxBytes: Long)
+  def sizeSplit(spark: SparkSession, docs: Dataset[Doc], maxBytes: Long,
+      store: MediaStore = DeterministicMediaStore)
       : (Dataset[Doc], org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     // outer coalesce: aggregate(NULL spans, ...) is NULL, and a NULL
     // predicate would drop the doc from BOTH branches (silent data loss,
     // NullSafetySpec corpus class) — null spans estimate as 0 bytes
-    val est = coalesce(
+    val textEst = coalesce(
       aggregate(col("spans"), lit(0L),
         (acc, s) => acc + coalesce(octet_length(s.getField("text")).cast("long"), lit(0L))),
       lit(0L))
+    // media term: the store's metadata-only byte estimate per media span
+    // (the reference's Content-Length / 10 MB mid-download cap) — a giant
+    // scanned PDF must be rejected BEFORE page decode, and its bytes are
+    // not in the text payload. A UDF is acceptable at this tier: it is a
+    // metadata probe over (kind, ref) pairs, the same cost class as the
+    // skew probe's pageCount — never inside the extraction hot loop.
+    val kstore = store
+    val mediaEst = udf { (kinds: Seq[String], refs: Seq[String]) =>
+      if (kinds == null || refs == null) 0L
+      else kinds.iterator.zip(refs.iterator).map {
+        case (k, r) if k != null && k != "text" && r != null && r.nonEmpty =>
+          kstore.byteEstimate(r)
+        case _ => 0L
+      }.sum
+    }
+    val est = textEst +
+      coalesce(mediaEst(col("spans.kind"), col("spans.media_ref")), lit(0L))
     val withEst = docs.toDF().withColumn("byte_est", est)
     val accepted = withEst.filter(col("byte_est") <= maxBytes).drop("byte_est").as[Doc]
     val rejected = withEst.filter(col("byte_est") > maxBytes)
@@ -233,7 +251,7 @@ object Extract {
     // the run_id partition (not append): rejected docs never reach the
     // committed output, so a resumed run re-detects them — appending would
     // duplicate the audit rows on every retry of the same run.
-    val (accepted, rejected) = sizeSplit(spark, todo, conf.maxDocBytes)
+    val (accepted, rejected) = sizeSplit(spark, todo, conf.maxDocBytes, store)
     rejected.write.mode(SaveMode.Overwrite)
       .parquet(s"${outPath}_rejected/run_id=${conf.runId}")
 

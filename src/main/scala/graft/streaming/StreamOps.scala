@@ -97,6 +97,51 @@ object StreamOps {
       }
   }
 
+  /** TTL-bounded streaming exact dedup — `dedupStream` with EVENT-TIME
+    * state expiry: unbounded fingerprint state is impossible at 10^12 docs
+    * (one entry per distinct doc, forever), so production streaming dedup
+    * always bounds its window ("dedup within N days"). State per
+    * fingerprint = (keeper id, last-seen event time); when the WATERMARK
+    * passes last-seen + ttl the state times out and is removed, and a
+    * duplicate arriving later re-emits — the documented recall trade of a
+    * bounded window. Expiry is event-time/watermark-driven (not
+    * wall-clock), so runs are deterministic and replayable; observing a
+    * duplicate EXTENDS the window (sliding TTL), matching "active
+    * content stays deduped, dead content ages out".
+    *
+    * Input: (doc_id, text, event_ts). Output: first doc per fingerprint
+    * per TTL window. */
+  def dedupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
+      ttlMs: Long): Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("_1").as("doc_id"), col("_2").as("text"),
+        graft.operators.TextOps.fingerprintCol(col("_2")).as("fp"),
+        col("_3").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, String, String, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long), (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val maxTs = rows.iterator.map(_._4.getTime).max
+            if (state.exists) {
+              state.update((state.get._1, maxTs))
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+              Iterator.empty
+            } else {
+              val first = rows.minBy(_._1)
+              state.update((first._1, maxTs))
+              state.setTimeoutTimestamp(maxTs + ttlMs)
+              Iterator((first._1, first._2))
+            }
+          }
+      }
+  }
+
   /** Streaming NEAR-dup candidate detection — the continuous-ingest form of
     * minhash-LSH banding (`Dedup.bandRows`): keyed by (band, digest), state
     * = the smallest doc_id seen for that digest; every arriving band row

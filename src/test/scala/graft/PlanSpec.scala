@@ -329,6 +329,35 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter lists all $nListed buckets — not pruning: $setsScanPf")
   }
 
+  test("dd_decontam: benchmark side broadcasts — corpus n-grams never shuffle into a join") {
+    val df = Queries.all("dd_decontam")(spark, sf)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the eval set (small by nature) must be the broadcast build side; a
+    // sort-merge join here would shuffle EVERY corpus n-gram at 100 TB
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus n-grams must not sort-merge-shuffle:\n$plan")
+    // post-join shuffles only: the per-doc aggregate (+ output sort) over
+    // the rare contamination HITS, never the full exploded n-gram stream
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange ")).toSeq
+    assert(exchanges.forall(e => !e.contains("(g#") && !e.contains("(g,")),
+      s"n-gram column must never be a shuffle key:\n${exchanges.mkString("\n")}")
+  }
+
+  test("pipe_pack: packing window is per-shard — never a single-partition sort") {
+    val df = Queries.all("pipe_pack")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Window"), s"expected window cumsum:\n$plan")
+    // a Window without partitioning plans Exchange SinglePartition — the
+    // one-machine sort that cannot exist at 10^12 docs
+    assert(!plan.contains("SinglePartition"),
+      s"packing must not serialize onto one partition:\n$plan")
+    assert(plan.contains("hashpartitioning(source"),
+      s"expected per-shard (source) window exchange:\n$plan")
+  }
+
   test("mega fallback tier (set > inline cap): no literal IN, joins planned, output identical") {
     val docs = Fixtures.testDocsDS(spark)
     val inline = Extract.extractDS(spark, docs, conf = ExtractConf(numPartitions = 4))

@@ -414,6 +414,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(rej.head.getString(2) == "too_large")
   }
 
+  test("size guard honors MEDIA bytes via the store's metadata estimate") {
+    import spark.implicits._
+    import graft.model.{Doc, Span}
+    // tiny text, but the store reports one media object as 20 MB — the
+    // reference's 10 MB cap applies to the DOWNLOADED media, not just the
+    // inline text payload (main.py:256-303); the guard must reject before
+    // any page decode
+    object BigMediaStore extends graft.media.MediaStore {
+      override def pageCount(ref: String): Int = 1
+      override def page(ref: String, p: Int) =
+        graft.media.PageMedia(ref, p, Nil, "x", noisy = false)
+      override def byteEstimate(ref: String): Long =
+        if (ref == "mem://huge/0") 20L * 1024 * 1024 else 100L
+    }
+    val docs = Seq(
+      Doc("ok", Seq(Span("text", "small", "", 0), Span("image", "", "mem://ok/0", 1))),
+      Doc("huge", Seq(Span("text", "small", "", 0), Span("pdf", "", "mem://huge/0", 1))))
+    val (ok, rej) = graft.pipeline.Extract.sizeSplit(spark,
+      spark.createDataset(docs), maxBytes = 10L * 1024 * 1024, store = BigMediaStore)
+    assert(ok.collect().map(_.doc_id).toSet == Set("ok"))
+    val r = rej.collect()
+    assert(r.length == 1 && r.head.getString(0) == "huge")
+    assert(r.head.getLong(1) > 20L * 1024 * 1024, "estimate must include media bytes")
+  }
+
   test("size guard partitions the corpus exactly: accepted ∪ rejected == input, disjoint") {
     import spark.implicits._
     import graft.model.{Doc, Span}

@@ -137,6 +137,33 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL dedup: state expires with the watermark, late duplicate re-emits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.dedupStreamTtl(in.toDS(), ttlMs = 10 * 60 * 1000L)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_dedup").start()
+    try {
+      in.addData((1L, "hello world", t(0)))   // emitted; window until 10:10
+      q.processAllAvailable()
+      in.addData((2L, "HELLO  world", t(5)))  // dup inside window → dropped
+      q.processAllAvailable()
+      in.addData((3L, "other text", t(30)))   // advances watermark to 10:30
+      q.processAllAvailable()
+      // watermark (10:30) > the hello state's 10:05+10min timeout → the
+      // state is removed in this batch's timeout pass
+      in.addData((4L, "third doc", t(35)))
+      q.processAllAvailable()
+      in.addData((5L, "hello world", t(40)))  // state expired → RE-emitted
+      q.processAllAvailable()
+      val kept = spark.table("ttl_dedup").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L, 4L, 5L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("session windows: gap-separated events form two sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
