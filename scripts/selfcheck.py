@@ -55,6 +55,9 @@ def type_drift(got_tbl, exp_tbl):
 def main(outdir, sfdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # this VM's duckdb sometimes mis-detects available memory right after
+    # a big JVM exits and refuses 4 KB allocations; pin an explicit limit
+    con.execute("SET memory_limit='24GB'")
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")

@@ -93,7 +93,7 @@ object Dedup {
     * negligible next to the banding's own false-positive rate, and all
     * candidates are verified downstream anyway. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8): DataFrame = {
+      numPerms: Int = 8, keepCols: Seq[String] = Nil): DataFrame = {
     val sh = array_distinct(shingles(col(textCol)))
     val nHash = (numPerms + 3) / 4
     val hstrs = transform(sh, s =>
@@ -106,26 +106,31 @@ object Dedup {
       struct((0 until numPerms).map(i =>
         least(acc(s"m$i"), substring(h, 1 + 8 * i, 8)).as(s"m$i")): _*))
     val sig = when(size(sh) > 0, folded)
+    val keep = keepCols.map(col)
     // two-stage select: CollapseProject keeps the expensive fold
     // un-duplicated because its alias is referenced numPerms times
-    docs.select(col(idCol), sig.as("sig"))
-      .select(col(idCol) +: (0 until numPerms).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    docs.select(col(idCol) +: keep :+ sig.as("sig"): _*)
+      .select(col(idCol) +: keep ++: (0 until numPerms).map(i => col(s"sig.m$i").as(s"m$i")): _*)
   }
 
   /** Exploded LSH band rows (id, band, digest): band b's digest =
     * md5(m_{2b} || m_{2b+1}). Shared by the self-join candidate path and
-    * the incremental (index-probe) path. */
+    * the incremental (index-probe) path. `keepCols` are carried through
+    * per band row (the streaming TTL path threads its event-time column
+    * this way — a post-hoc join to recover it would be a stream-stream
+    * join, which cannot precede the stateful operator). */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
-      numPerms: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol, numPerms)
+      numPerms: Int = 8, rowsPerBand: Int = 2, keepCols: Seq[String] = Nil): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol, numPerms, keepCols)
     val nBands = numPerms / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat(cols: _*).cast("binary")).as("digest"))
     }
+    val keep = keepCols.map(col)
     sig
-      .select(col(idCol), explode(array(bands: _*)).as("bd"))
-      .select(col(idCol), col("bd.band"), col("bd.digest"))
+      .select(col(idCol) +: keep :+ explode(array(bands: _*)).as("bd"): _*)
+      .select(col(idCol) +: keep ++: Seq(col("bd.band"), col("bd.digest")): _*)
   }
 
   /** Candidate pairs from pre-partitioned band rows via self-join on

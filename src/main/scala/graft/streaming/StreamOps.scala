@@ -190,6 +190,43 @@ object StreamOps {
       }
   }
 
+  /** TTL-bounded streaming near-dup — `nearDupStream` with the same
+    * event-time state expiry as `dedupStreamTtl`: band-digest state
+    * (min id, last-seen) is dropped once the watermark passes last-seen +
+    * ttl, so the 4-rows/doc LSH state stays bounded on an unbounded
+    * stream; a near-dup of content older than the window is reported as
+    * new (the bounded-window recall trade, stated not hidden). */
+  def nearDupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
+      ttlMs: Long, numPerms: Int = 8, rowsPerBand: Int = 2): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    graft.operators.Dedup
+      .bandRows(docs.toDF("doc_id", "text", "ts"), "doc_id", "text",
+        numPerms, rowsPerBand, keepCols = Seq("ts"))
+      .filter(col("digest").isNotNull)
+      .select(col("band"), col("digest"), col("doc_id"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Int, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toArray.sortBy(_._3)
+            val maxTs = rows.iterator.map(_._4.getTime).max
+            var m = state.getOption.map(_._1).getOrElse(Long.MaxValue)
+            val out = Vector.newBuilder[(Long, Long)]
+            for (r <- rows) {
+              if (m < r._3) out += ((r._3, m))
+              if (r._3 < m) m = r._3
+            }
+            state.update((m, maxTs))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Incremental extraction: same kernel, streaming source → streaming sink.
     * `foreachBatch`-friendly; here expressed directly so the plan is a
     * streaming MapPartitions (engine init amortized per partition per

@@ -164,6 +164,35 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL near-dup: band state expires with the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val base = "the quick brown fox jumps over the lazy dog near the still river tonight"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.nearDupStreamTtl(in.toDS(), ttlMs = 10 * 60 * 1000L)
+      .toDF("doc_id", "base")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_near").start()
+    try {
+      in.addData((1L, base, t(0)))
+      q.processAllAvailable()
+      in.addData((2L, base, t(5)))    // inside window → collides with 1
+      q.processAllAvailable()
+      in.addData((3L, "unrelated filler words about glacier maps and tidal charts for navigation", t(30)))
+      q.processAllAvailable()
+      in.addData((4L, "second filler batch to run the timeout pass", t(35)))
+      q.processAllAvailable()
+      in.addData((5L, base, t(40)))   // state expired → no collision emitted
+      q.processAllAvailable()
+      val hits = spark.table("ttl_near")
+        .groupBy(col("doc_id")).agg(min(col("base")).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hits.get(2L).contains(1L), s"in-window near-dup must collide: $hits")
+      assert(!hits.contains(5L), s"post-expiry doc must read as new: $hits")
+    } finally q.stop()
+  }
+
   test("session windows: gap-separated events form two sessions") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
