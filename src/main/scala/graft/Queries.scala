@@ -585,7 +585,10 @@ object Queries {
       // WITH RECURSIVE reachability over the same verified edges.
       val ver = Dedup.ngramJaccardVerified(augmented(s, dir), "doc_id", "text")
         .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
-      Dedup.connectedComponents(ver, "id_a", "id_b")
+      // localFinishEdges = 256 (not the 2^20 default): at sf0.1 the edge
+      // set starts ~600, so the contract run exercises BOTH the
+      // distributed star rounds and the bounded local finish
+      Dedup.connectedComponents(ver, "id_a", "id_b", localFinishEdges = 256)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
     }),
@@ -644,7 +647,8 @@ object Queries {
       val exactLosers = withFp.filter(col("rn") > 1).select(col("doc_id"))
       val ver = Dedup.ngramJaccardVerified(reps, "doc_id", "text", maxBucket = 1024)
         .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
-      val ccLosers = Dedup.connectedComponents(ver, "id_a", "id_b")
+      val ccLosers = Dedup.connectedComponents(ver, "id_a", "id_b",
+          localFinishEdges = 256) // see dd_components: exercises both paths
         .filter(col("id") =!= col("component"))
         .select(col("id").as("doc_id"))
       val losers = exactLosers.unionAll(ccLosers)

@@ -410,10 +410,23 @@ object Dedup {
     * reliable-mode checkpoint FILES are left for the checkpoint dir's
     * owner to clean (or `spark.cleaner.referenceTracking.cleanCheckpoints`).
     *
+    * Local finish: star rounds shrink the edge set geometrically, so an
+    * iterative job spends its LAST several rounds pushing a few thousand
+    * edges through full cluster scheduling — pure overhead at any scale.
+    * Once the measured edge count (free, from the convergence checksum)
+    * drops to `localFinishEdges` or below, the remainder is resolved with
+    * one BOUNDED collect (cap × ~16 bytes ≈ 16 MB at the default) and a
+    * driver-side union-find, then parallelized back. A 10^12-edge run
+    * still does all its heavy lifting distributed — the first rounds —
+    * and every run ends below the cap eventually, so the tail rounds it
+    * replaces are exactly the all-overhead ones. Set 0 to disable (the
+    * spec proves threshold-on ≡ threshold-off output).
+    *
     * Output: (id, component) for every node appearing in at least one edge;
     * component = smallest reachable node id. */
   def connectedComponents(edges0: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 50, checkpointDir: Option[String] = None,
+      localFinishEdges: Long = 1L << 20): DataFrame = {
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =
@@ -445,10 +458,52 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // driver-side union-find over a BOUNDED edge list (≤ localFinishEdges,
+    // enforced by the caller's threshold check against the measured count).
+    // Ids keep their runtime type; ordering matches Spark's least/greatest
+    // for the orderable id types the operator accepts.
+    def finishLocally(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val ord: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
+        case (a: Long, b: Long) => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int) => Integer.compare(a, b)
+        case (a: String, b: String) => a.compareTo(b)
+        case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      def union(a: Any, b: Any): Unit = {
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          // min-id root invariant = the distributed rounds' component rule
+          if (ord.lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      df.collect().foreach(r => union(r.get(0), r.get(1)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        df.schema.fields(0).copy(name = "id"),
+        df.schema.fields(1).copy(name = "component")))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism)), schema)
+    }
     var sum = checksum(edges)
     var converged = sum._1 == 0L // count from the checksum — no extra job
     var it = 0
-    while (!converged && it < maxIters) {
+    var localResult: Option[DataFrame] = None
+    while (!converged && it < maxIters && localResult.isEmpty) {
+      if (localFinishEdges > 0 && sum._1 <= localFinishEdges) {
+        localResult = Some(finishLocally(edges))
+      } else {
       // Each round costs exactly THREE exchanges: an explicit
       // repartition(u) ahead of each star feeds both its groupBy-min and
       // its join off the same exchange (ReuseExchange — without it the
@@ -479,16 +534,19 @@ object Dedup {
       unpersistCp(edges) // superseded round's blocks — small is materialized
       edges = small
       it += 1
+      }
     }
-    // a silently-unconverged forest would report one component as several
-    // (and let duplicates survive curation) — fail loudly instead
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters rounds " +
-        s"(${sum._1} edges remain); raise maxIters")
-    // fixpoint is a forest of stars (node → component min); add the roots
-    edges.select(col("u").as("id"), col("v").as("component"))
-      .union(edges.select(col("v").as("id"), col("v").as("component")))
-      .distinct()
+    localResult.getOrElse {
+      // a silently-unconverged forest would report one component as several
+      // (and let duplicates survive curation) — fail loudly instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds " +
+          s"(${sum._1} edges remain); raise maxIters")
+      // fixpoint is a forest of stars (node → component min); add the roots
+      edges.select(col("u").as("id"), col("v").as("component"))
+        .union(edges.select(col("v").as("id"), col("v").as("component")))
+        .distinct()
+    }
   }
 
   /** Benchmark decontamination — flag corpus docs sharing any n-gram

@@ -102,13 +102,38 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(composed == uncomposed)
   }
 
+  test("CC local finish ≡ pure distributed rounds (long and string ids)") {
+    import spark.implicits._
+    // a 400-edge graph with chains (worst case for naive propagation),
+    // stars, and disjoint pairs; plus the string-id graph that exercises
+    // lexicographic component roots in both engines
+    val longEdges = (0 until 400).map { i =>
+      if (i % 3 == 0) (i.toLong, (i + 1).toLong)        // chains
+      else if (i % 3 == 1) (1000L + i % 7, 2000L + i)   // stars
+      else (5000L + i, 5000L + i + 400)                 // pairs
+    }.toDF("a", "b")
+    val dist = Dedup.connectedComponents(longEdges, "a", "b", localFinishEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = Dedup.connectedComponents(longEdges, "a", "b") // default: local finish
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist)
+    val strEdges = Seq(("b9", "b10"), ("b10", "b11"), ("c1", "c2")).toDF("a", "b")
+    val distS = Dedup.connectedComponents(strEdges, "a", "b", localFinishEdges = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val localS = Dedup.connectedComponents(strEdges, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(localS == distS)
+  }
+
   test("connectedComponents with reliable checkpointing matches default") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L), (20L, 21L))
       .toDF("id_a", "id_b")
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    // localFinishEdges = 0: force the ITERATIVE path (the local finish
+    // would otherwise resolve this tiny graph before any round checkpoints)
     val reliable = Dedup.connectedComponents(edges, "id_a", "id_b",
-        checkpointDir = Some(dir))
+        checkpointDir = Some(dir), localFinishEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val default = Dedup.connectedComponents(edges, "id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
