@@ -576,6 +576,22 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "dd_decontam_fast" -> ((s, dir) => {
+      // prod-speed twin of dd_decontam: native 64-bit shingle hashes
+      // (rows-only by construction; dd_decontam is the value-exact twin
+      // with the identical plan shape — broadcast bench side, hit-only
+      // aggregate)
+      val aug = augmented(s, dir)
+      val bench = docs(s, dir)
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = aug
+        .filter(!(col("doc_id") < 1000000L && col("doc_id") % 97 === 0))
+        .select(col("doc_id"), col("text"))
+      Dedup.decontaminateFast(corpus, bench, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     "dd_components" -> ((s, dir) => {
       // duplicate-CLUSTER resolution: the step after LSH + verify in a real
       // dedup job — verified near-dup pairs form a graph; every doc in a
@@ -1390,9 +1406,10 @@ object Queries {
     // rounding is ~1 ulp).
     "dd_embed_near" -> graft.operators.Similarity.srpNearDupOracleSql(theta = 0.4)
 
-    // dd_simhash, dd_minhash_fast, dd_jaccard_fast, mm_decode_full:
-    // intentionally no oracle (xxhash64/bit-level hashes not expressible
-    // in DuckDB); q_distinct_users_approx: no oracle because HLL sketch
+    // dd_simhash, dd_minhash_fast, dd_jaccard_fast, dd_decontam_fast,
+    // mm_decode_full: intentionally no oracle (xxhash64/bit-level hashes
+    // not expressible in DuckDB); q_distinct_users_approx: no oracle
+    // because HLL sketch
     // estimates are engine-specific (exact twin: q_distinct_users; the
     // error bound is spec-checked in ApproxDistinctSpec). The driver
     // records the weaker rows-only check for these. ann_ivf /

@@ -575,6 +575,27 @@ object Dedup {
         count_distinct(col("g")).as("n_shared"))
   }
 
+  /** Prod-speed decontamination twin: 64-bit shingle HASHES from the
+    * native one-pass `shingle_set` expression instead of shingle strings —
+    * the broadcast eval-set side shrinks ~5-10× (8 bytes vs whole
+    * n-grams) and the corpus side materializes no per-gram strings.
+    * Hash collisions (~n²/2^65 for an eval suite) can only ADD a spurious
+    * flag — acceptable for a quarantine list, and the exact twin
+    * (`decontaminate`) is the audit path. Rows-only vs the oracle by
+    * construction (the 64-bit hash is not reproducible in DuckDB);
+    * `decontaminate` is the value-exact twin with the identical plan
+    * shape. */
+  def decontaminateFast(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val f = graft.functions.functions
+    val cg = corpus.select(col(idCol), explode(f.shingleSet(col(textCol))).as("g"))
+    val bg = bench.select(col(idCol).as("bench_id"), explode(f.shingleSet(col(textCol))).as("g"))
+    cg.join(broadcast(bg), "g")
+      .groupBy(col(idCol))
+      .agg(min(col("bench_id")).as("contaminated_by"),
+        count_distinct(col("g")).as("n_shared"))
+  }
+
   /** N-gram Jaccard verification over the LSH candidate pairs ONLY — the
     * scale-correct two-stage dedup (candidates from `minhashCandidates`,
     * exact |A∩B| via `array_intersect` on the per-doc shingle sets). Exact

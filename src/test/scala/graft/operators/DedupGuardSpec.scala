@@ -102,6 +102,20 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(composed == uncomposed)
   }
 
+  test("decontaminateFast (hash grams) matches decontaminate (string grams)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val bench = d.filter(col("doc_id") % 7 === 0)
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    def collectRes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = collectRes(Dedup.decontaminate(corpus, bench, "doc_id", "text"))
+    val fast = collectRes(Dedup.decontaminateFast(corpus, bench, "doc_id", "text"))
+    assert(fast == exact) // 64-bit collisions impossible at this gram count
+    assert(exact.nonEmpty, "test corpus must actually contaminate")
+  }
+
   test("CC local finish ≡ pure distributed rounds (long and string ids)") {
     import spark.implicits._
     // a 400-edge graph with chains (worst case for naive propagation),
