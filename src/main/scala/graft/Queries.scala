@@ -300,6 +300,20 @@ object Queries {
         .orderBy(col("event_type"))
     }),
 
+    "q_gopher_repetition" -> ((s, dir) => {
+      // Gopher/RefinedWeb-style within-document repetition filters: exact
+      // integer concentration counts (most-frequent word / 2-gram, word
+      // chars) computed PER ROW via a sort-and-scan over the row's own
+      // word array — no explode, no shuffle; the keep flag applies the
+      // shared integer-cross-multiplied rule (TextOps.RepetitionRule, the
+      // literal SQL string both engines evaluate).
+      val cols = TextOps.repetitionCols(col("text"))
+      docs(s, dir)
+        .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .withColumn("keep", expr(TextOps.RepetitionRule).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // queryable-JSON surface: extract a field from the props JSON column,
       // aggregate it (value-exact: extracted integer, not the raw JSON
@@ -1310,6 +1324,29 @@ object Queries {
          |  SELECT doc_id, fp,
          |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM fps)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_repetition" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' ') AS wl
+         |  FROM documents),
+         |base AS (SELECT doc_id, CAST(len(wl) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(wl, x -> length(x))) AS BIGINT) AS sum_word_chars
+         |  FROM w),
+         |wc AS (SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(wl) AS t FROM w) GROUP BY 1, 2),
+         |tw AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n FROM wc GROUP BY 1),
+         |bc AS (SELECT doc_id, t, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(wl)),
+         |                i -> wl[i] || ' ' || wl[i + 1])) AS t FROM w)
+         |  GROUP BY 1, 2),
+         |tb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY 1)
+         |SELECT doc_id, n_words, sum_word_chars, top_word_n, top_bigram_n,
+         |  CAST(CASE WHEN ${TextOps.RepetitionRule} THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM (
+         |  SELECT base.doc_id, n_words, sum_word_chars, top_word_n,
+         |    COALESCE(top_bigram_n, 0) AS top_bigram_n
+         |  FROM base JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
 
     "dd_stream_near" -> Queries.minhashOracle(
       s"""cand AS (
