@@ -25,30 +25,28 @@ def norm(rows, cols):
     return out
 
 
-def type_drift(got_tbl, exp_tbl):
-    """Column-TYPE comparison via arrow schemas — the driver's typed row
-    hash diverges on type drift even when Python values compare equal
+def type_drift(got_types, exp_types):
+    """Column-TYPE comparison via DESCRIBE type names — the driver's typed
+    row hash diverges on type drift even when Python values compare equal
     (round-3 root cause: an uncast SUM(BIGINT) promoted to HUGEINT in
     DuckDB vs LONG in Spark passed the old value-only check but failed the
-    driver hash). Returns a list of "col: got vs exp" mismatch strings.
-    Widths within the same family are driver-equivalent (parquet INT32 vs
-    DuckDB BIGINT both hash as ints), so only family-level drift flags:
-    int vs decimal/hugeint, int vs float, number vs string."""
-    def families(tbl):
-        out = {}
-        for f in tbl.schema:
-            t = str(f.type)
-            if t.startswith(("int", "uint")):
-                fam = "int"
-            elif t.startswith("decimal"):
-                fam = "decimal"  # duckdb HUGEINT arrives as decimal128(38,0)
-            elif t.startswith(("float", "double", "halffloat")):
-                fam = "float"
-            else:
-                fam = t
-            out[f.name] = fam
-        return out
-    g, e = families(got_tbl), families(exp_tbl)
+    driver hash). Inputs: {column: duckdb_type_name}. Returns a list of
+    "col: got vs exp" mismatch strings. Widths within the same family are
+    driver-equivalent (parquet INT32 vs DuckDB BIGINT both hash as ints),
+    so only family-level drift flags: int vs decimal/hugeint, int vs
+    float, number vs string."""
+    def family(t):
+        t = t.upper()
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t == "HUGEINT" or t.startswith("DECIMAL"):
+            return "decimal"
+        if t in ("FLOAT", "REAL", "DOUBLE"):
+            return "float"
+        return t
+    g = {c: family(t) for c, t in got_types.items()}
+    e = {c: family(t) for c, t in exp_types.items()}
     return [f"{c}: {g[c]} vs {e[c]}" for c in sorted(set(g) & set(e)) if g[c] != e[c]]
 
 
@@ -78,13 +76,14 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: columns {sorted(gcols)} != {sorted(ecols)}")
             fail += 1
             continue
-        # fetch each arrow table eagerly — the duckdb connection holds ONE
-        # active result, so interleaving two executes before fetching
-        # would leave the first .arrow() empty
-        got_tbl = con.execute(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").arrow()
-        exp_tbl = con.execute(oracle[name]).arrow()
-        drift = type_drift(got_tbl, exp_tbl)
+        # column types via DESCRIBE — plans the query without EXECUTING it
+        # (round-4 review: re-running every oracle for .arrow() doubled the
+        # cost of the expensive recursive-CTE/minhash oracles)
+        drift = type_drift(
+            {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+            ).fetchall()},
+            {r[0]: r[1] for r in con.execute(f"DESCRIBE {oracle[name]}").fetchall()})
         if drift:
             print(f"FAIL {name}: column type drift (driver hash would diverge): "
                   + "; ".join(drift))

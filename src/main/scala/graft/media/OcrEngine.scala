@@ -94,17 +94,25 @@ final class TesseractCliOcr(langs: String = "eng",
   override def recognize(media: PageMedia, passIdx: Int): String = {
     val img = TesseractCliOcr.preprocess(render(media.baseText), passIdx)
     val png = workDir.resolve(s"page_${Thread.currentThread().getId}.png")
-    javax.imageio.ImageIO.write(img, "png", png.toFile)
-    val cmd = Seq(binary, png.toString, "stdout", "-l", langs, "--psm", "6")
-    val proc = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(false)
-      .redirectError(ProcessBuilder.Redirect.DISCARD)
-      .start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val code = proc.waitFor()
-    require(code == 0, s"tesseract exited $code for $png")
-    out
+    try {
+      javax.imageio.ImageIO.write(img, "png", png.toFile)
+      val cmd = Seq(binary, png.toString, "stdout", "-l", langs, "--psm", "6")
+      val proc = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(false)
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val code = proc.waitFor()
+      require(code == 0, s"tesseract exited $code for $png")
+      out
+    } finally {
+      // delete per page, not per JVM: a long-lived executor runs many
+      // partitions — deleteOnExit on a NON-EMPTY dir is a no-op, so
+      // leaving pngs behind would leak /tmp for the life of the host
+      java.nio.file.Files.deleteIfExists(png)
+      ()
+    }
   }
 
   /** Sandbox rasterizer: headless AWT text render (black on white, wrapped

@@ -151,6 +151,14 @@ object Dedup {
     * window over the SAME (keys) hash partitioning the join needs — no
     * additional exchange.
     *
+    * Known cost (round-4 review): the window subtree sits above the one
+    * reused exchange but below THREE consumers (both self-join sides +
+    * the star branch), so the per-partition sort/count runs up to 3× per
+    * invocation. Materializing it would cost storage proportional to ALL
+    * band rows (4×corpus at the defaults — not a win at 10^12 docs), so
+    * the recomputation is the accepted price of the O(n²) protection;
+    * the expensive part (the shuffle) happens once.
+    *
     * `exploded` must already be repartitioned by `keys`. */
   private[operators] def bandedCandidates(exploded: DataFrame, idCol: String,
       keys: Seq[String], maxBucket: Int): DataFrame = {
@@ -415,8 +423,12 @@ object Dedup {
     * edges through full cluster scheduling — pure overhead at any scale.
     * Once the measured edge count (free, from the convergence checksum)
     * drops to `localFinishEdges` or below, the remainder is resolved with
-    * one BOUNDED collect (cap × ~16 bytes ≈ 16 MB at the default) and a
-    * driver-side union-find, then parallelized back. A 10^12-edge run
+    * one BOUNDED collect and a driver-side union-find, then parallelized
+    * back. Honest driver-memory budget at the 2^18 default (round-4
+    * review): ~260k collected Rows plus a ~520k-entry boxed hash map —
+    * roughly 50-150 MB for long ids, more for long string ids; size
+    * `localFinishEdges` to the driver you actually run (the right cap is
+    * a deployment property, which is why it is a knob). A 10^12-edge run
     * still does all its heavy lifting distributed — the first rounds —
     * and every run ends below the cap eventually, so the tail rounds it
     * replaces are exactly the all-overhead ones. Set 0 to disable (the
@@ -426,7 +438,7 @@ object Dedup {
     * component = smallest reachable node id. */
   def connectedComponents(edges0: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 50, checkpointDir: Option[String] = None,
-      localFinishEdges: Long = 1L << 20): DataFrame = {
+      localFinishEdges: Long = 1L << 18): DataFrame = {
     val reliable = checkpointDir.isDefined
     checkpointDir.foreach(edges0.sparkSession.sparkContext.setCheckpointDir)
     def cp(df: DataFrame): DataFrame =

@@ -39,20 +39,55 @@ final class FetchFailedException(msg: String, cause: Throwable)
 object UrlFetch {
 
   def fetch(url: String, maxBytes: Long = UrlMeta.MaxFileSize,
-      timeoutMs: Int = 30000): FetchedFile = {
-    val conn = java.net.URI.create(url).toURL.openConnection()
-      .asInstanceOf[java.net.HttpURLConnection]
-    conn.setConnectTimeout(timeoutMs)
-    conn.setReadTimeout(timeoutMs)
-    conn.setInstanceFollowRedirects(true)
+      timeoutMs: Int = 30000): FetchedFile =
+    fetchFollowing(url, nameUrl = url, maxBytes, timeoutMs, redirectsLeft = 5)
+
+  private def open(url: String, timeoutMs: Int): java.net.HttpURLConnection = {
+    // malformed / non-http URLs surface as the SAME declared failure type
+    // as transport errors (requests raises RequestException for both and
+    // the reference wraps them identically, main.py:299-300)
+    val conn =
+      try java.net.URI.create(url).toURL.openConnection()
+      catch { case e @ (_: IllegalArgumentException | _: java.net.MalformedURLException) =>
+        throw new FetchFailedException(s"invalid URL '$url': ${e.getMessage}", e)
+      }
+    conn match {
+      case h: java.net.HttpURLConnection =>
+        h.setConnectTimeout(timeoutMs)
+        h.setReadTimeout(timeoutMs)
+        // same-protocol redirects handled by the JDK; cross-protocol
+        // (http→https — the most common redirect on the web) handled in
+        // fetchFollowing because HttpURLConnection never follows those
+        h.setInstanceFollowRedirects(true)
+        h
+      case other =>
+        throw new FetchFailedException(
+          s"unsupported URL scheme for '$url' (${other.getClass.getSimpleName})", null)
+    }
+  }
+
+  // nameUrl = the caller's ORIGINAL url: the reference infers the filename
+  // from its `url` argument even after redirects (main.py:271-283)
+  private def fetchFollowing(url: String, nameUrl: String, maxBytes: Long,
+      timeoutMs: Int, redirectsLeft: Int): FetchedFile = {
+    val conn = open(url, timeoutMs)
     try {
       val code =
         try conn.getResponseCode
         catch { case e: java.io.IOException => throw new FetchFailedException(e.getMessage, e) }
+      if (code >= 300 && code < 400 && conn.getHeaderField("Location") != null) {
+        // requests.get follows redirects transparently, including
+        // http→https; replicate with a bounded manual hop
+        if (redirectsLeft <= 0)
+          throw new FetchFailedException(s"too many redirects for $url", null)
+        val loc = java.net.URI.create(url)
+          .resolve(conn.getHeaderField("Location")).toString
+        return fetchFollowing(loc, nameUrl, maxBytes, timeoutMs, redirectsLeft - 1)
+      }
       if (code < 200 || code >= 300)
         throw new FetchFailedException(s"HTTP $code for $url", null)
       val filename = UrlMeta.inferFilename(
-        Option(conn.getHeaderField("Content-Disposition")), url,
+        Option(conn.getHeaderField("Content-Disposition")), nameUrl,
         Option(conn.getContentType))
       val out = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192) // main.py:288 chunk_size

@@ -101,11 +101,14 @@ object StreamOps {
     * state expiry: unbounded fingerprint state is impossible at 10^12 docs
     * (one entry per distinct doc, forever), so production streaming dedup
     * always bounds its window ("dedup within N days"). State per
-    * fingerprint = (keeper id, last-seen event time); when the WATERMARK
-    * passes last-seen + ttl the state times out and is removed, and a
-    * duplicate arriving later re-emits — the documented recall trade of a
-    * bounded window. Expiry is event-time/watermark-driven (not
-    * wall-clock), so runs are deterministic and replayable; observing a
+    * fingerprint = (keeper id, last-seen event time); expiry is decided
+    * in EVENT TIME against each arriving row, so a duplicate whose event
+    * time is past last-seen + ttl re-emits even when it shares a
+    * micro-batch with earlier rows — identical event streams produce
+    * identical outputs HOWEVER the stream is batched (the round-4 review
+    * caught the earlier watermark-coupled form, whose output depended on
+    * batch boundaries). The watermark-driven timeout is pure state
+    * CLEANUP of entries no in-window row can extend again. Observing a
     * duplicate EXTENDS the window (sliding TTL), matching "active
     * content stays deduped, dead content ages out".
     *
@@ -126,18 +129,32 @@ object StreamOps {
         case (_, it, state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rows = it.toSeq
-            val maxTs = rows.iterator.map(_._4.getTime).max
-            if (state.exists) {
-              state.update((state.get._1, maxTs))
-              state.setTimeoutTimestamp(maxTs + ttlMs)
-              Iterator.empty
-            } else {
-              val first = rows.minBy(_._1)
-              state.update((first._1, maxTs))
-              state.setTimeoutTimestamp(maxTs + ttlMs)
-              Iterator((first._1, first._2))
+            // rows processed in (event-time, id) order with the expiry
+            // decided against EACH row's event time — identical event
+            // streams produce identical output however the stream is
+            // micro-batched (the watermark timeout below is then pure
+            // state cleanup, not the expiry decision)
+            val rows = it.toArray.sortBy(r => (r._4.getTime, r._1))
+            var st = state.getOption
+            val out = Vector.newBuilder[(Long, String)]
+            for (r <- rows) {
+              val ts = r._4.getTime
+              st = st match {
+                case Some((k, last)) if ts <= last + ttlMs =>
+                  Some((k, math.max(last, ts))) // in-window dup: extend
+                case _ => // no window, or this row is past it in event time
+                  out += ((r._1, r._2))
+                  Some((r._1, ts))
+              }
             }
+            val (k, last) = st.get // rows non-empty in the data branch
+            state.update((k, last))
+            // timeout timestamps must sit above the current watermark; a
+            // straggler older than watermark+ttl still processed correctly
+            // above, its state just becomes immediately cleanup-eligible
+            state.setTimeoutTimestamp(
+              math.max(last + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
       }
   }
@@ -191,11 +208,12 @@ object StreamOps {
   }
 
   /** TTL-bounded streaming near-dup — `nearDupStream` with the same
-    * event-time state expiry as `dedupStreamTtl`: band-digest state
-    * (min id, last-seen) is dropped once the watermark passes last-seen +
-    * ttl, so the 4-rows/doc LSH state stays bounded on an unbounded
-    * stream; a near-dup of content older than the window is reported as
-    * new (the bounded-window recall trade, stated not hidden). */
+    * per-row EVENT-TIME expiry contract as `dedupStreamTtl` (batching
+    * cannot change the output); band-digest state (min id, last-seen) is
+    * additionally cleaned up by the watermark timeout, so the 4-rows/doc
+    * LSH state stays bounded on an unbounded stream. A near-dup of
+    * content older than the window is reported as new (the
+    * bounded-window recall trade, stated not hidden). */
   def nearDupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
       ttlMs: Long, numPerms: Int = 8, rowsPerBand: Int = 2): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
@@ -212,16 +230,25 @@ object StreamOps {
         case (_, it, state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val rows = it.toArray.sortBy(_._3)
-            val maxTs = rows.iterator.map(_._4.getTime).max
-            var m = state.getOption.map(_._1).getOrElse(Long.MaxValue)
+            // per-row event-time expiry in (event-time, id) order — same
+            // batching-independence contract as dedupStreamTtl
+            val rows = it.toArray.sortBy(r => (r._4.getTime, r._3))
+            var st = state.getOption // (min id, last seen)
             val out = Vector.newBuilder[(Long, Long)]
             for (r <- rows) {
-              if (m < r._3) out += ((r._3, m))
-              if (r._3 < m) m = r._3
+              val ts = r._4.getTime
+              st = st match {
+                case Some((m, last)) if ts <= last + ttlMs =>
+                  if (m < r._3) out += ((r._3, m))
+                  Some((math.min(m, r._3), math.max(last, ts)))
+                case _ => // window expired: this row starts a new one
+                  Some((r._3, ts))
+              }
             }
-            state.update((m, maxTs))
-            state.setTimeoutTimestamp(maxTs + ttlMs)
+            val (m, last) = st.get
+            state.update((m, last))
+            state.setTimeoutTimestamp(
+              math.max(last + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }

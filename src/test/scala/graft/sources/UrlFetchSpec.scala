@@ -80,6 +80,39 @@ class UrlFetchSpec extends AnyFunSuite {
     assert(written.get() < 32L * 1024 * 1024, s"server wrote ${written.get()}")
   }
 
+  test("redirects are followed (requests.get semantics); filename from the ORIGINAL url") {
+    withServer(Map(
+      "/old/scan.pdf" -> { ex =>
+        ex.getResponseHeaders.add("Location", "/new/moved.bin")
+        ex.sendResponseHeaders(302, -1)
+      },
+      "/new/moved.bin" -> (ex => respond(ex, "final".getBytes)))) { base =>
+      val f = UrlFetch.fetch(s"$base/old/scan.pdf")
+      assert(new String(f.content) == "final")
+      // main.py:271 infers from the url ARGUMENT, not the redirect target
+      assert(f.filename == "scan.pdf")
+    }
+  }
+
+  test("redirect loops terminate with the wrapped failure") {
+    withServer(Map("/loop" -> { ex =>
+      ex.getResponseHeaders.add("Location", "/loop")
+      ex.sendResponseHeaders(302, -1)
+    })) { base =>
+      val e = intercept[FetchFailedException](UrlFetch.fetch(s"$base/loop"))
+      // same-protocol loops are cut by the JDK's own redirect limit
+      // ("Server redirected too many times"); cross-protocol loops by our
+      // manual hop counter — either way the declared failure type with a
+      // redirect-limit message
+      assert(e.getMessage.toLowerCase.contains("redirect"))
+    }
+  }
+
+  test("malformed and non-http URLs raise the declared failure type") {
+    intercept[FetchFailedException](UrlFetch.fetch("ht tp://bad host/x"))
+    intercept[FetchFailedException](UrlFetch.fetch("file:///etc/hostname"))
+  }
+
   test("non-2xx raises the wrapped failure (raise_for_status semantics)") {
     withServer(Map("/gone" -> (ex => respond(ex, "nope".getBytes, code = 404)))) { base =>
       val e = intercept[FetchFailedException](UrlFetch.fetch(s"$base/gone"))

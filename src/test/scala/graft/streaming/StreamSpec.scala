@@ -164,6 +164,29 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL dedup: expiry is event-time, independent of micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamOps.dedupStreamTtl(in.toDS(), ttlMs = 10 * 60 * 1000L)
+      .toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_dedup_batching").start()
+    try {
+      in.addData((1L, "same text", t(0)))
+      q.processAllAvailable()
+      // ONE batch containing an in-window dup (10:05) AND a past-ttl dup
+      // (10:40): the watermark has not advanced past the state's timeout,
+      // but the 10:40 row's own event time decides expiry — the
+      // round-4-review bug suppressed it whenever these shared a batch
+      in.addData((2L, "SAME   text", t(5)), (3L, "same text", t(40)))
+      q.processAllAvailable()
+      val kept = spark.table("ttl_dedup_batching").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("TTL near-dup: band state expires with the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
