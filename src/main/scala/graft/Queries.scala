@@ -835,6 +835,14 @@ object Queries {
         .orderBy(col("media_id"))
     }),
 
+    "q_embed_quantize" -> ((s, dir) => {
+      // int8 embedding quantization audit — per-row map, no shuffle (see
+      // Similarity.quantizeInt8Audit; the oracle checks scale, code sum,
+      // and saturation count value-exactly)
+      Similarity.quantizeInt8Audit(emb(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    }),
+
     // --- array metadata op ------------------------------------------------
     "q_array_meta" -> ((s, dir) => {
       emb(s, dir)
@@ -1437,6 +1445,8 @@ object Queries {
          |WHERE detected = 'portuguese' AND n_words >= 40
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_embed_quantize" -> graft.operators.Similarity.quantizeInt8OracleSql(),
 
     // SRP-banded near-dup: plane signs shared constants; 0.4 threshold has
     // a measured 1.3e-4 margin to the nearest pair (cross-engine dot

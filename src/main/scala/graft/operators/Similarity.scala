@@ -102,6 +102,46 @@ object Similarity {
     * bucket-filtered read prunes to 1/2^p of the files (directory-level —
     * no data pages of other buckets are even opened). One full scan + one
     * shuffle-free write; amortized over every subsequent query. */
+  /** Symmetric int8 quantization of an embedding column — the standard
+    * 4× storage/bandwidth cut an embedding store applies before ANN
+    * serving (scale = max |x|, codes = round(x/scale·127)). A pure
+    * per-row map (no shuffle — at 10^12 vectors this is a rewrite pass
+    * bounded by I/O), emitted here with audit columns instead of the raw
+    * code array so the DuckDB oracle can check it value-exactly:
+    * per-vector code SUM, count of saturated codes (|code| = 127), and
+    * the scale itself (copied float→double, no arithmetic → bit-exact
+    * cross-engine). The float math is double-precision with one fixed
+    * operation order (x/scale·127) on both engines; rounding parity over
+    * the synthetic corpus is verified by the driver differential (data
+    * is fixed, so parity is a property of the corpus, not of the run).
+    * Zero vectors quantize to all-zero codes (guarded division). */
+  def quantizeInt8Audit(embeddings: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val v = col(embCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double"))))
+    val codes = when(scale === 0d,
+        transform(v, _ => lit(0))).otherwise(
+        transform(v, x => round(x.cast("double") / scale * 127d).cast("int")))
+    embeddings
+      .select(col(idCol), scale.as("scale"), codes.as("codes"))
+      .select(col(idCol), col("scale"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
+        size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_saturated"))
+  }
+
+  /** DuckDB oracle for `quantizeInt8Audit` over the embeddings view —
+    * identical operation order and constants. */
+  def quantizeInt8OracleSql(idCol: String = "vec_id"): String =
+    s"""WITH e AS (SELECT $idCol, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT $idCol, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+       |c AS (SELECT $idCol, scale,
+       |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+       |         ELSE list_transform(v, x -> CAST(round(x / scale * 127) AS INT)) END AS codes
+       |  FROM s)
+       |SELECT $idCol, scale,
+       |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+       |  CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_saturated
+       |FROM c ORDER BY $idCol""".stripMargin
+
   def buildSrpIndex(embeddings: DataFrame, idCol: String, embCol: String,
       path: String, p: Int = 4, dims: Int = 64): Unit = {
     embeddings
