@@ -147,6 +147,10 @@ object Queries {
     * shared with the oracle SQL). */
   private val PackSeqLen = 512
 
+  /** Inactivity gap closing a session in `q_sessionize` (seconds; shared
+    * with the oracle SQL). */
+  private val SessionGapS = 6 * 3600L
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -270,6 +274,33 @@ object Queries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy(col("day"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      // BATCH gap-based sessionization — the canonical event-pipeline
+      // operator (the streaming forms live in StreamOps): a session
+      // breaks after > SessionGapS of inactivity. Shape: per-USER windows
+      // (lag for the break flag, running sum for the session id) — the
+      // sort is inside each user partition, never global; outputs are
+      // per-session aggregates, which are invariant to tie order among
+      // equal timestamps (the RANGE-framed cumsum gives tied rows one
+      // session id, and the break-flag multiset per tie group is
+      // order-independent), so the result is deterministic and
+      // oracle-exact.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      s.read.parquet(p(dir, "events"))
+        // NTZ → LTZ (session tz pinned UTC) → epoch seconds; matches the
+        // oracle's epoch(ts) over DuckDB's naive timestamps
+        .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("ts_s"))
+        .withColumn("new_s",
+          when(lag(col("ts_s"), 1).over(w).isNull ||
+            col("ts_s") - lag(col("ts_s"), 1).over(w) > lit(SessionGapS), 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_s")).as("t_start"), max(col("ts_s")).as("t_end"))
+        .orderBy(col("user_id"), col("session_id"))
     }),
 
     "q_distinct_users" -> ((s, dir) => {
@@ -1102,6 +1133,23 @@ object Queries {
          |  $cols
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_sessionize" ->
+      // floor, not CAST: epoch() is DOUBLE and DuckDB's double→BIGINT cast
+      // ROUNDS while Spark's timestamp→long FLOORS the sub-second part
+      s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+         |f AS (SELECT user_id, ts_s,
+         |    CASE WHEN lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+         |           OR ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) > $SessionGapS
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |g AS (SELECT user_id, ts_s,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM f)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts_s) AS t_start, MAX(ts_s) AS t_end
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
