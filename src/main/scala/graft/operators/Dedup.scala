@@ -56,17 +56,22 @@ object Dedup {
 
   /** Integer cross-multiplied Jaccard threshold — |A∩B| / |A∪B| ≥ num/den
     * with no float parity risk. The ONE place the dedup-verification
-    * predicate lives (queries and oracles share these constants). */
+    * predicate lives (queries and oracles share these constants).
+    * Requires a non-degenerate pair (n_a + n_b > 0): two EMPTY shingle
+    * sets would otherwise pass vacuously (0·den ≥ 0·num), so a candidate
+    * generator bug pairing shingle-less docs could never be laundered
+    * into "verified" duplicates by this predicate. */
   def jaccardAtLeast(common: Column, na: Column, nb: Column,
       num: Int = 6, den: Int = 10): Column =
-    common * den >= (na + nb - common) * num
+    common * den >= (na + nb - common) * num && na + nb > 0
 
   /** The same predicate as an SQL fragment over the given expressions
     * (operands parenthesized — a compound argument must not rebind via
     * operator precedence). */
   def jaccardAtLeastSql(common: String, na: String, nb: String,
       num: Int = 6, den: Int = 10): String =
-    s"($common) * $den >= (($na) + ($nb) - ($common)) * $num"
+    s"($common) * $den >= (($na) + ($nb) - ($common)) * $num" +
+      s" AND ($na) + ($nb) > 0"
 
   /** Exact dedup: group identical normalized texts by md5 fingerprint;
     * output (hash, keeper=min id, n_dups). One shuffle on the digest. */
@@ -159,9 +164,18 @@ object Dedup {
     * the recomputation is the accepted price of the O(n²) protection;
     * the expensive part (the shuffle) happens once.
     *
+    * NULL band keys are dropped up front: docs with < n words produce
+    * null signatures, hence null digests, and while the `===` self-join
+    * can never match them (null ≠ null), `Window.partitionBy` WOULD group
+    * every null-digest row of a band into ONE bucket — with the guard on,
+    * a web corpus's many shingle-less docs would exceed `maxBucket` and
+    * the star branch would emit candidate pairs among completely
+    * unrelated short docs (pairs the unguarded join could never produce).
+    *
     * `exploded` must already be repartitioned by `keys`. */
-  private[operators] def bandedCandidates(exploded: DataFrame, idCol: String,
+  private[operators] def bandedCandidates(exploded0: DataFrame, idCol: String,
       keys: Seq[String], maxBucket: Int): DataFrame = {
+    val exploded = exploded0.filter(keys.map(col(_).isNotNull).reduce(_ && _))
     def selfJoin(df: DataFrame): DataFrame = {
       val a = df.as("a")
       val b2 = df.as("b")
@@ -212,12 +226,13 @@ object Dedup {
     *                    `bucket = pmod(xxhash64(id), 64)`.
     * Every probe touches all bands, so the join key (band, digest) — not a
     * partition column — does the pruning via hash join. The sets table IS
-    * id-bucketed (round-3 verdict item 4): verification joins on
-    * (bucket, id), so dynamic partition pruning reads only the directories
-    * holding candidate ids — at 10^12 base docs a daily batch's
-    * verification touches a candidate-proportional slice of the stored
-    * shingle sets instead of rescanning all of them
-    * (`verifyAgainstIndex`; PlanSpec asserts the dynamicpruning filter). */
+    * id-bucketed (round-3 verdict item 4): `verifyAgainstIndex` collects
+    * the candidates' ≤ `SetsBuckets` distinct bucket ints (bounded) and
+    * reads sets/ behind a LITERAL `bucket IN (...)` partition filter
+    * (static pruning, PlanSpec-asserted; Spark's DPP rule cannot fire
+    * here — see `verifyAgainstIndex`) — at 10^12 base docs a daily
+    * batch's verification touches a candidate-proportional slice of the
+    * stored shingle sets instead of rescanning all of them. */
   def buildBandIndex(base: DataFrame, idCol: String, textCol: String,
       path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
     bandRows(base, idCol, textCol, numPerms, rowsPerBand)
@@ -479,7 +494,18 @@ object Dedup {
       val ord: Ordering[Any] = (x: Any, y: Any) => (x, y) match {
         case (a: Long, b: Long) => java.lang.Long.compare(a, b)
         case (a: Int, b: Int) => Integer.compare(a, b)
-        case (a: String, b: String) => a.compareTo(b)
+        case (a: String, b: String) =>
+          // UTF-8 byte order (UTF8String.binaryCompare), NOT String
+          // .compareTo's UTF-16 code-unit order: they disagree for
+          // supplementary-plane ids (U+10000+ sorts below U+E000..U+FFFF
+          // in UTF-16 but above in UTF-8), and the local finish must pick
+          // the SAME component roots as the distributed least/min rounds
+          val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0; var r = 0
+          val n = math.min(ab.length, bb.length)
+          while (i < n && r == 0) { r = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+          if (r != 0) r else ab.length - bb.length
         case (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
       }
       val parent = new java.util.HashMap[Any, Any]()

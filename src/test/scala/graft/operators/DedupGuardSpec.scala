@@ -64,6 +64,50 @@ class DedupGuardSpec extends AnyFunSuite {
     assert(c >= 299L && c < 400L, s"expected ~299 star pairs, got $c")
   }
 
+  test("null band keys: star guard never pairs shingle-less docs") {
+    import spark.implicits._
+    // 40 docs with < 3 words (null signature → null band digests) + 6
+    // normal docs. The `===` self-join can never match nulls, but
+    // Window.partitionBy groups all null-digest rows of a band into ONE
+    // bucket — an unguarded guard branch would exceed maxBucket=8 and emit
+    // star pairs among completely unrelated short docs.
+    val shorties = (0 until 40).map(i => (i.toLong, s"w$i only"))
+    val normal = (0 until 6).map(i =>
+      (1000L + i, s"some normal document number $i with plenty of words inside it"))
+    val docs = (shorties ++ normal).toDF("doc_id", "text")
+    for (guarded <- Seq(0, 8)) {
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucket = guarded)
+        .filter(col("id_a") < 1000L || col("id_b") < 1000L)
+      assert(cand.count() == 0L, s"maxBucket=$guarded paired shingle-less docs")
+      val candN = Dedup.minhashCandidatesNative(docs, "doc_id", "text", maxBucket = guarded)
+        .filter(col("id_a") < 1000L || col("id_b") < 1000L)
+      assert(candN.count() == 0L, s"native maxBucket=$guarded paired shingle-less docs")
+    }
+    // and the verification predicate can never launder an empty-set pair
+    val degenerate = Seq((0L, 0L, 0L)).toDF("n_common", "n_a", "n_b")
+      .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
+    assert(degenerate.count() == 0L, "jaccardAtLeast(0,0,0) must not pass")
+  }
+
+  test("CC local finish string order matches UTF8String binary order") {
+    import spark.implicits._
+    // U+10000 (surrogate pair D800 DC00) sorts BELOW U+E000 in UTF-16
+    // code-unit order but ABOVE it in UTF-8 bytes; the distributed rounds
+    // compare UTF8String binary, so the local finish must agree on which
+    // node roots the component
+    val supp = new String(Character.toChars(0x10000))
+    val pua = "\uE000"
+    val edges = Seq((supp, pua), (supp + "b", pua)).toDF("a", "b")
+    val dist = Dedup.connectedComponents(edges, "a", "b", localFinishEdges = 0)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val local = Dedup.connectedComponents(edges, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(local == dist)
+    // UTF-8 order: pua (EE 80 80) < supp (F0 90 80 80); UTF-16 order would
+    // root the component at supp (D800 DC00 < E000) instead
+    assert(dist.forall(_._2 == pua), s"component root should be U+E000: $dist")
+  }
+
   test("guard off vs guard with large cap: identical pairs on a benign corpus") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
