@@ -3,8 +3,11 @@ package graft
 import graft.pipeline.Fixtures
 import org.apache.spark.sql.SparkSession
 
-/** Round benchmark (driver contract: ONE JSON line, the LAST line this main
-  * writes to stdout).
+/** Round benchmark (driver contract: the LAST stdout line is ONE compact
+  * JSON object — headline + scaling + calibration, kept well under the
+  * driver's ~2000-char stdout tail window; the per-query timings map is a
+  * SEPARATE JSON line printed immediately before it, and both lines are
+  * also written to bench_out.json).
   *
   * Part 1 — the BASELINE.json metric: documents/sec extraction throughput
   * over the deterministic synthetic interleaved corpus (FIXTURES.md §5,
@@ -124,7 +127,8 @@ object Bench {
 
   private final case class Scaling(
       nLow: Int, nHigh: Int, rateLow: Double, rateHigh: Double,
-      efficiency: Double, pairEffs: Seq[Double])
+      efficiency: Double, pairEffs: Seq[Double],
+      discardedEffs: Seq[Double] = Nil)
 
   /** Entitlement calibration gate (round-2 verdict item 1). The driver runs
     * this bench right after its heavy correctness phase, exactly when the
@@ -142,7 +146,7 @@ object Bench {
     * time since construction: a wall deadline silently disabled gating for
     * every pair after the first two (r3: `rests:0` with a 19.5k probe
     * because 120 s had elapsed in pair 1's runs, none of it gating). */
-  private final class Gate(ref: Double, frac: Double, restS: Int,
+  private final class Gate(val ref: Double, val frac: Double, restS: Int,
       budgetNs: Long, probeDocs: Int) {
     val probeRates = scala.collection.mutable.ArrayBuffer.empty[Double]
     var rests = 0
@@ -171,6 +175,9 @@ object Bench {
       probeRates += r
       r
     }
+    /** One probe, recorded in the trace — the post-pair contamination
+      * check (see `measurePair`). Public face of `probe()`. */
+    def probeOnce(): Double = probe()
     def json: String =
       s"""{"probe_ref":${f"$ref%.1f"},"threshold_frac":$frac,""" +
         s""""rests":$rests,"probe_rates":${probeRates.map(r => f"$r%.1f").mkString("[", ",", "]")}}"""
@@ -186,12 +193,14 @@ object Bench {
     * counts use the middle; even counts average the two middles (a 2-pair
     * upper-middle is really the max — round-1 verdict item 6a). */
   private def measurePair(nLow: Int, numDocs: Int, rounds: Int, restS: Int,
-      gate: Option[Gate] = None): Scaling = {
+      gate: Option[Gate] = None, maxRetries: Int = 0): Scaling = {
     require(rounds >= 1, s"measurePair needs rounds >= 1, got $rounds")
     val nHigh = nLow * 4
     var rateLow = 0.0
     var rateHigh = 0.0
+    var retriesLeft = maxRetries
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val discarded = scala.collection.mutable.ArrayBuffer.empty[Double]
     // The hypervisor's CPU-credit pool refills at roughly half the host's
     // cores (BASELINE.md addendum); the LOW leg runs under that rate and is
     // immune to pool state, but a HIGH leg started on a drained pool is
@@ -202,23 +211,45 @@ object Bench {
     // high leg's full cpu-seconds, making the ratio measure the JOB's
     // scaling rather than the hypervisor's bucket level.
     val hiRestS = sys.env.getOrElse("GRAFT_BENCH_HI_REST_S", "45").toInt
-    for (r <- 0 until rounds) {
-      if (r > 0) Thread.sleep(restS * 1000L)
-      gate.foreach(_.await()) // only start a pair on a healthy credit pool
+    def onePair(reversed: Boolean): (Double, Double) = {
       def hiLeg(): Double = {
         Thread.sleep(hiRestS * 1000L)
         extractionRate(nHigh, numDocs)
       }
-      val (lo, hi) =
-        if (r % 2 == 0) {
-          val l = extractionRate(nLow, numDocs)
-          val h = hiLeg()
-          (l, h)
-        } else {
-          val h = hiLeg()
-          val l = extractionRate(nLow, numDocs)
-          (l, h)
-        }
+      if (!reversed) {
+        val l = extractionRate(nLow, numDocs); val h = hiLeg(); (l, h)
+      } else {
+        val h = hiLeg(); val l = extractionRate(nLow, numDocs); (l, h)
+      }
+    }
+    for (r <- 0 until rounds) {
+      if (r > 0) Thread.sleep(restS * 1000L)
+      gate.foreach(_.await()) // only start a pair on a healthy credit pool
+      var (lo, hi) = onePair(r % 2 == 1)
+      // POST-pair contamination probe (round-4 verdict item 3): the pool
+      // can drain DURING a pair (its own legs burn it), capping the high
+      // leg and dragging the ratio below the job's true scaling. If the
+      // post-pair probe shows a drained pool, discard the reading, rest
+      // until the gate passes, and re-run the pair ONCE. The decision
+      // conditions ONLY on the probe (pool state), never on the measured
+      // efficiency — an efficiency-conditioned retry would be optional-
+      // stopping bias (round-1 verdict); a sick-pool reading is a known
+      // instrument failure, and both the discarded efficiencies and the
+      // probe trace are reported in the JSON.
+      val contaminated = gate match {
+        case Some(g) if retriesLeft > 0 && g.ref > 0 =>
+          g.probeOnce() < g.ref * g.frac
+        case _ => false
+      }
+      if (contaminated) {
+        retriesLeft -= 1
+        discarded += (hi / lo) / (nHigh.toDouble / nLow)
+        System.err.println(f"[bench] pair $r ran on a drained pool " +
+          f"(post-pair probe below gate threshold) — resting and re-running")
+        gate.foreach(_.await())
+        val p2 = onePair(r % 2 == 1)
+        lo = p2._1; hi = p2._2
+      }
       rateLow = math.max(rateLow, lo)
       rateHigh = math.max(rateHigh, hi)
       pairEffs += (hi / lo) / (nHigh.toDouble / nLow)
@@ -227,7 +258,7 @@ object Bench {
     val median =
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-    Scaling(nLow, nHigh, rateLow, rateHigh, median, pairEffs.toSeq)
+    Scaling(nLow, nHigh, rateLow, rateHigh, median, pairEffs.toSeq, discarded.toSeq)
   }
 
   /** Full JSON string escape (backslash, quote, all control chars) — the
@@ -246,9 +277,12 @@ object Bench {
 
   private def scalingJson(s: Scaling): String = {
     val pairs = s.pairEffs.map(e => f"$e%.3f").mkString("[", ",", "]")
+    val disc =
+      if (s.discardedEffs.isEmpty) ""
+      else s""","discarded_sick_pool":${s.discardedEffs.map(e => f"$e%.3f").mkString("[", ",", "]")}"""
     s"""{"n_cores":${s.nLow},"docs_per_sec_n":${f"${s.rateLow}%.1f"},""" +
       s""""four_n_cores":${s.nHigh},"docs_per_sec_4n":${f"${s.rateHigh}%.1f"},""" +
-      s""""efficiency":${f"${s.efficiency}%.3f"},"pair_efficiencies":$pairs}"""
+      s""""efficiency":${f"${s.efficiency}%.3f"},"pair_efficiencies":$pairs$disc}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -306,7 +340,12 @@ object Bench {
         gateDeadlineS * 1000000000L,
         math.max(numDocs / 10, 1000))
       gateOpt = Some(gate)
-      primary = Some(measurePair(nLow, numDocs, rounds, restS, Some(gate)))
+      // bounded post-pair contamination retries (round-4 verdict item 3):
+      // one sick pair on an otherwise-healthy host can't drag the median
+      // below the bar; the retry decision is probe-conditioned only
+      val pairRetries = sys.env.getOrElse("GRAFT_BENCH_PAIR_RETRIES", "2").toInt
+      primary = Some(measurePair(nLow, numDocs, rounds, restS, Some(gate),
+        maxRetries = pairRetries))
       if (rounds2 > 0) {
         Thread.sleep(restS * 1000L)
         contract = Some(measurePair(8, numDocs, rounds2, restS))
@@ -381,19 +420,30 @@ object Bench {
     val headline = levelRates.getOrElse(headlineLevel, 0.0)
     val ratesJson = levelRates
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
+    // Per-query timings go on their OWN stdout line (plus bench_out.json):
+    // the driver parses the contract JSON from the last ~2000 chars of
+    // stdout, and round 4's single line (59 query timings + scaling +
+    // calibration) outgrew that window — the tail started mid-JSON and the
+    // round's bench record parsed null. The FINAL line now carries only
+    // the headline + scaling + calibration payload (measured ~900 chars,
+    // comfortable headroom), with the timings printed just before it.
+    val queriesLine =
+      s"""{"queries":$qs,"queries_total_sec":${f"$totalSec%.2f"},"sf":"$sfDir"}"""
     val json =
-      s"""{"metric":"documents/sec extraction throughput (interleaved corpus, medium level; primary scaling pair local[${head.nHigh}] vs local[${head.nLow}], secondary pair local[32] vs local[8], headline rate = best observed at the FIXED headline_level)",""" +
+      s"""{"metric":"docs/sec extraction (interleaved corpus, medium; primary pair local[${head.nHigh}]/local[${head.nLow}], diagnostic local[32]/local[8])",""" +
       s""""value":${f"$headline%.1f"},"unit":"docs/sec",""" +
       s""""headline_level":$headlineLevel,"rates":$ratesJson,""" +
       s""""scaling":${primary.map(p => scalingJson(p).dropRight(1) + s""","num_docs":$numDocs}""").getOrElse("null")},""" +
       s""""scaling_8_32":${contract.map(scalingJson).getOrElse("null")},""" +
       s""""calibration":${gateOpt.map(_.json).getOrElse("null")},""" +
-      scalingErr.map(e => s""""scaling_error":"${jsonEscape(e)}",""").getOrElse("") +
+      scalingErr.map(e => s""""scaling_error":"${jsonEscape(e.take(200))}",""").getOrElse("") +
       s""""queries_total_sec":${f"$totalSec%.2f"},""" +
-      s""""queries":$qs,"sf":"$sfDir"}"""
-    // side artifact for debugging/redundancy; stdout line is the contract
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json)
+      s""""queries_detail":"previous stdout line + bench_out.json","sf":"$sfDir"}"""
+    // side artifact for debugging/redundancy; stdout lines are the contract
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"),
+      queriesLine + "\n" + json + "\n")
     catch { case _: Throwable => () }
+    println(queriesLine)
     println(json)
   }
 }
