@@ -104,24 +104,35 @@ object StreamOps {
     * fingerprint = (keeper id, last-seen event time); expiry is decided
     * in EVENT TIME against each arriving row, so a duplicate whose event
     * time is past last-seen + ttl re-emits even when it shares a
-    * micro-batch with earlier rows — identical event streams produce
-    * identical outputs HOWEVER the stream is batched (the round-4 review
-    * caught the earlier watermark-coupled form, whose output depended on
-    * batch boundaries). The watermark-driven timeout is pure state
-    * CLEANUP of entries no in-window row can extend again. Observing a
-    * duplicate EXTENDS the window (sliding TTL), matching "active
-    * content stays deduped, dead content ages out".
+    * micro-batch with earlier rows (the round-4 review caught the earlier
+    * watermark-coupled form, whose output depended on batch boundaries).
+    * The watermark-driven timeout is pure state CLEANUP of entries no
+    * in-window row can extend again. Observing a duplicate EXTENDS the
+    * window (sliding TTL), matching "active content stays deduped, dead
+    * content ages out".
+    *
+    * LATE-DATA BOUNDARY (round-4 advice): Spark's
+    * FlatMapGroupsWithStateExec drops input rows older than the
+    * late-events watermark BEFORE the user function runs, so a row
+    * arriving more than `allowedLateness` behind the stream's max event
+    * time — across micro-batches — is silently discarded, exactly like
+    * any watermarked stateful operator. Batching-independence therefore
+    * holds for streams whose cross-batch event-time disorder stays
+    * within `allowedLateness`; the default "0 seconds" assumes an
+    * event-time-ordered append log (ids assigned in arrival order).
+    * Size the lateness to the source's real disorder — a dropped
+    * genuinely-new doc is silent data loss for a dedup operator.
     *
     * Input: (doc_id, text, event_ts). Output: first doc per fingerprint
     * per TTL window. */
   def dedupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
-      ttlMs: Long): Dataset[(Long, String)] = {
+      ttlMs: Long, allowedLateness: String = "0 seconds"): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._
     docs
       .select(col("_1").as("doc_id"), col("_2").as("text"),
         graft.operators.TextOps.fingerprintCol(col("_2")).as("fp"),
         col("_3").as("ts"))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", allowedLateness)
       .as[(Long, String, String, java.sql.Timestamp)]
       .groupByKey(_._3)
       .flatMapGroupsWithState[(Long, Long), (Long, String)](
@@ -131,9 +142,10 @@ object StreamOps {
           else {
             // rows processed in (event-time, id) order with the expiry
             // decided against EACH row's event time — identical event
-            // streams produce identical output however the stream is
-            // micro-batched (the watermark timeout below is then pure
-            // state cleanup, not the expiry decision)
+            // streams within the allowed-lateness disorder bound produce
+            // identical output however the stream is micro-batched (the
+            // watermark timeout below is then pure state cleanup, not
+            // the expiry decision)
             val rows = it.toArray.sortBy(r => (r._4.getTime, r._1))
             var st = state.getOption
             val out = Vector.newBuilder[(Long, String)]
@@ -149,9 +161,11 @@ object StreamOps {
             }
             val (k, last) = st.get // rows non-empty in the data branch
             state.update((k, last))
-            // timeout timestamps must sit above the current watermark; a
-            // straggler older than watermark+ttl still processed correctly
-            // above, its state just becomes immediately cleanup-eligible
+            // timeout timestamps must sit above the current watermark
+            // (rows older than the lateness watermark never reach this
+            // function — see the late-data boundary note above); a row
+            // that passed the watermark but whose window is already past
+            // just leaves its state immediately cleanup-eligible
             state.setTimeoutTimestamp(
               math.max(last + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
@@ -208,21 +222,25 @@ object StreamOps {
   }
 
   /** TTL-bounded streaming near-dup — `nearDupStream` with the same
-    * per-row EVENT-TIME expiry contract as `dedupStreamTtl` (batching
-    * cannot change the output); band-digest state (min id, last-seen) is
-    * additionally cleaned up by the watermark timeout, so the 4-rows/doc
-    * LSH state stays bounded on an unbounded stream. A near-dup of
-    * content older than the window is reported as new (the
-    * bounded-window recall trade, stated not hidden). */
+    * per-row EVENT-TIME expiry contract as `dedupStreamTtl`; band-digest
+    * state (min id, last-seen) is additionally cleaned up by the
+    * watermark timeout, so the 4-rows/doc LSH state stays bounded on an
+    * unbounded stream. A near-dup of content older than the window is
+    * reported as new (the bounded-window recall trade, stated not
+    * hidden). Late-data boundary identical to `dedupStreamTtl`: rows
+    * more than `allowedLateness` behind the stream's max event time are
+    * dropped BEFORE the stateful function runs — batching-independence
+    * holds within that disorder bound. */
   def nearDupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
-      ttlMs: Long, numPerms: Int = 8, rowsPerBand: Int = 2): Dataset[(Long, Long)] = {
+      ttlMs: Long, numPerms: Int = 8, rowsPerBand: Int = 2,
+      allowedLateness: String = "0 seconds"): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     graft.operators.Dedup
       .bandRows(docs.toDF("doc_id", "text", "ts"), "doc_id", "text",
         numPerms, rowsPerBand, keepCols = Seq("ts"))
       .filter(col("digest").isNotNull)
       .select(col("band"), col("digest"), col("doc_id"), col("ts"))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", allowedLateness)
       .as[(Int, String, Long, java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState[(Long, Long), (Long, Long)](
