@@ -404,6 +404,53 @@ object Queries {
         .orderBy(col("doc_id"))
     }),
 
+    "q_gopher_lines" -> ((s, dir) => {
+      // Gopher line-shape rules (Rae et al. 2021 §A1.1.1) over the DERIVED
+      // line-structured document (TextOps.linesCol — the corpus itself is
+      // single-line, so the line fixture is constructed deterministically
+      // and identically in the oracle): bullet-line and ellipsis-line
+      // fractions as exact integer counts, keep flag via the shared
+      // integer-cross-multiplied LineRule. Pure per-row map — rides the
+      // scan at any scale.
+      val lined = docs(s, dir)
+        .select(col("doc_id"), TextOps.linesCol(col("text"), col("doc_id")).as("ll"))
+      lined
+        .select(col("doc_id") +:
+          TextOps.lineShapeCols(col("ll")).map { case (n, c) => c.as(n) }: _*)
+        .withColumn("keep", expr(TextOps.LineRule).cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_lines_boilerplate" -> ((s, dir) => {
+      // Per-line boilerplate dedup (C4/RefinedWeb-style): lines appearing
+      // in ≥ BoilerMinDocs distinct docs are boilerplate (injected
+      // header/footer/teaser lines qualify by construction); each doc
+      // reports its line counts and the fingerprint of its text with
+      // boilerplate lines removed, preserving line order.
+      // Scale shape: ONE shuffle total — the line document-frequency
+      // aggregate (map-side partial combine over exploded lines); the
+      // resulting boilerplate set is tiny by definition (only lines
+      // repeated across ≥30 docs) and broadcasts back as a single array,
+      // so the per-doc filter + fingerprint stage is row-local with no
+      // second shuffle and no join on the exploded lines.
+      val lined = docs(s, dir)
+        .select(col("doc_id"), TextOps.linesCol(col("text"), col("doc_id")).as("ll"))
+      val boiler = lined
+        .select(col("doc_id"), explode(col("ll")).as("line"))
+        .groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= TextOps.BoilerMinDocs)
+        .agg(collect_list(col("line")).as("bl"))
+      lined.crossJoin(broadcast(boiler))
+        .select(col("doc_id"),
+          size(col("ll")).cast("long").as("n_lines"),
+          size(filter(col("ll"), l => array_contains(col("bl"), l)))
+            .cast("long").as("n_boiler_lines"),
+          md5(array_join(filter(col("ll"), l => !array_contains(col("bl"), l)), "\n")
+            .cast("binary")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_json_extract" -> ((s, dir) => {
       // queryable-JSON surface: extract a field from the props JSON column,
       // aggregate it (value-exact: extracted integer, not the raw JSON
@@ -1497,6 +1544,35 @@ object Queries {
          |FROM aug g LEFT JOIN cand c ON c.doc_id = g.doc_id
          |ORDER BY g.doc_id""".stripMargin,
       extraCte = true, augCte = Queries.aug3Sql),
+
+    "q_gopher_lines" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id, ${TextOps.lineListSql("wl", "doc_id")} AS ll
+         |  FROM (SELECT doc_id, ${TextOps.rawWordsSql("text")} AS wl FROM documents))
+         |SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+         |  CAST(CASE WHEN ${TextOps.LineRule} THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len(ll) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ll, l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(ll, l -> ends_with(l, '...'))) AS BIGINT) AS n_ellipsis_lines
+         |  FROM lined)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_lines_boilerplate" ->
+      s"""WITH lined AS (
+         |  SELECT doc_id, ${TextOps.lineListSql("wl", "doc_id")} AS ll
+         |  FROM (SELECT doc_id, ${TextOps.rawWordsSql("text")} AS wl FROM documents)),
+         |fl AS (SELECT doc_id, unnest(ll) AS line FROM lined),
+         |blset AS (SELECT COALESCE(list(line), []) AS bl FROM (
+         |  SELECT line FROM (
+         |    SELECT line, COUNT(DISTINCT doc_id) AS df FROM fl GROUP BY 1)
+         |  WHERE df >= ${TextOps.BoilerMinDocs}))
+         |SELECT doc_id,
+         |  CAST(len(ll) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(ll, l -> list_contains(bl, l))) AS BIGINT) AS n_boiler_lines,
+         |  md5(array_to_string(list_filter(ll, l -> NOT list_contains(bl, l)), chr(10))) AS clean_fp
+         |FROM lined CROSS JOIN blset ORDER BY doc_id""".stripMargin,
 
     "dd_decontam" ->
       s"""WITH $augmentedSql,

@@ -144,6 +144,74 @@ object TextOps {
       "sum_word_chars <= 10 * n_words AND top_word_n * 10 <= n_words * 3 AND " +
       "top_bigram_n * 100 <= (CASE WHEN n_words > 1 THEN n_words - 1 ELSE 1 END) * 18"
 
+  /** ---- line-level operators (Gopher §A1.1.1 line rules; C4/RefinedWeb
+    * boilerplate-line removal) ----------------------------------------
+    *
+    * The driver corpus is single-line word salad, so the line-structured
+    * document is DERIVED deterministically — and identically in BOTH
+    * engines (this builder and the DuckDB oracle): content wrapped at
+    * `LineWords` words per line, plus injected navigation/footer/teaser
+    * lines keyed on doc_id. That construction is the newline-bearing
+    * fixture; every count downstream is an exact integer over it. */
+  val LineWords = 8
+  val HeaderLine = "- menu home about contact"
+  val FooterLine = "all rights reserved 2024"
+  val ReadMoreLine = "click to read more..."
+
+  /** A line is "boilerplate" when it appears in at least this many
+    * distinct docs (the injected footer hits every doc; the header and
+    * teaser hit 1/3 and 1/5 of docs; an organic 8-word line repeating
+    * across 30+ distinct salad docs is effectively impossible). */
+  val BoilerMinDocs = 30
+
+  /** The derived line list of a document (array<string>, original order):
+    * [header if doc_id%3=0] ++ content wrapped at LineWords ++ [footer]
+    * ++ [teaser if doc_id%5=0]. Pure per-row map — no explode, no
+    * shuffle; at 10^12 docs this stage rides the scan. */
+  def linesCol(text: Column, docId: Column): Column = {
+    val words = split(regexp_replace(trim(text), " +", " "), " ")
+    val content = transform(
+      sequence(lit(0), floor((size(words) - lit(1)) / lit(LineWords)).cast("int")),
+      i => array_join(slice(words, i * lit(LineWords) + lit(1), lit(LineWords)), " "))
+    val empty = array().cast("array<string>")
+    concat(
+      when(docId % 3 === 0, array(lit(HeaderLine))).otherwise(empty),
+      content,
+      array(lit(FooterLine)),
+      when(docId % 5 === 0, array(lit(ReadMoreLine))).otherwise(empty))
+  }
+
+  /** The same derived line list as DuckDB SQL over a bound words-list
+    * alias (see `Dedup.wordsSql` but WITHOUT lowercasing — lines keep
+    * case) and a doc-id expression. */
+  def lineListSql(wordsAlias: String, idExpr: String): String = {
+    val content = s"list_transform(range(0, (len($wordsAlias)-1)//$LineWords + 1), " +
+      s"i -> array_to_string($wordsAlias[CAST(i*$LineWords+1 AS BIGINT):CAST(i*$LineWords+$LineWords AS BIGINT)], ' '))"
+    s"list_concat(list_concat(" +
+      s"CASE WHEN $idExpr % 3 = 0 THEN ['$HeaderLine'] ELSE [] END, $content), " +
+      s"list_concat(['$FooterLine'], " +
+      s"CASE WHEN $idExpr % 5 = 0 THEN ['$ReadMoreLine'] ELSE [] END))"
+  }
+
+  /** DuckDB: the words list WITHOUT lowercasing (lines preserve case). */
+  def rawWordsSql(e: String): String =
+    s"string_split(regexp_replace(trim($e), ' +', ' ', 'g'), ' ')"
+
+  /** Gopher-style line keep rule over the derived counts: drop a doc when
+    * > 90% of lines start with a bullet or > 20% end in an ellipsis —
+    * integer cross-multiplied, identical constants in both engines (the
+    * 20% ellipsis bound is chosen so BOTH outcomes occur on this corpus:
+    * short teaser-bearing docs drop, long ones keep). */
+  val LineRule: String =
+    "n_bullet_lines * 10 <= n_lines * 9 AND n_ellipsis_lines * 5 <= n_lines"
+
+  /** Per-line shape counts (exact integers, per-row). */
+  def lineShapeCols(lines: Column): Seq[(String, Column)] = Seq(
+    "n_lines" -> size(lines).cast("long"),
+    "n_bullet_lines" -> size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long"),
+    "n_ellipsis_lines" -> size(filter(lines, l => l.endsWith("..."))).cast("long"))
+
   /** BPE-ish token count: letter runs, digit runs, single other glyphs. */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def tokenCountCol(text: Column): Column =
