@@ -210,6 +210,15 @@ object Queries {
     * with the oracle SQL). */
   private val SessionGapS = 6 * 3600L
 
+  /** Per-language document cap for `q_cap_per_lang` (chosen between the
+    * corpus's minority-language counts (~75) and the English count (~190)
+    * so BOTH branches occur: en is capped, the rest pass whole). */
+  private val CapPerLang = 100
+
+  /** Token-window width of `dd_substring_spans` (words per window; shared
+    * with the oracle SQL). */
+  private val SubstrWindow = 8
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -448,6 +457,69 @@ object Queries {
             .cast("long").as("n_boiler_lines"),
           md5(array_join(filter(col("ll"), l => !array_contains(col("bl"), l)), "\n")
             .cast("binary")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_cap_per_lang" -> ((s, dir) => {
+      // Per-group frequency cap (the RefinedWeb/CommonCrawl "at most K
+      // docs per domain" rule, keyed here on lang): keep K docs per
+      // language, selected DETERMINISTICALLY by a hash order so the
+      // result is independent of partitioning and arrival order — a
+      // cap that kept "the first K seen" would be nondeterministic on a
+      // cluster. One shuffle (the per-group window); at 10^12 docs the
+      // window never materializes a global sort, only per-group ordering.
+      val hashOrd = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy(col("lang")).orderBy(hashOrd, col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= CapPerLang)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_substring_spans" -> ((s, dir) => {
+      // Token-window exact-substring duplication (the span-level dedup of
+      // Lee et al. 2022, "Deduplicating Training Data Makes Language
+      // Models Better", in its bounded windowed form): every
+      // SubstrWindow-word window is hashed; a window appearing in >= 2
+      // distinct docs is a duplicated span. Corpus = originals plus a
+      // FIRST-HALF copy of each doc (+1e6), so duplication is partial and
+      // per-doc counts vary — trivial whole-doc copies would mark every
+      // window equally. Per doc: total windows and duplicated windows.
+      // Scale shape: windows are per-row arrays (the words column is
+      // bound FIRST so the lambda slices an attribute, not a recomputed
+      // split — the no-CSE-across-lambda trap); one shuffle aggregates
+      // window-hash document frequency with map-side combine, the df>=2
+      // subset joins back by hash (shuffle join — the dup-hash set is
+      // corpus-sized in the worst case, so no broadcast assumption), and
+      // one final per-doc aggregate.
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val words = split(regexp_replace(lower(trim(col("text"))), " +", " "), " ")
+      val halfText = array_join(
+        slice(words, lit(1), greatest(floor(size(words) / 2).cast("int"), lit(1))), " ")
+      val corpus = d.unionAll(
+        d.select(col("doc_id") + lit(1000000L), halfText.as("text")))
+      val bound = corpus.select(col("doc_id"),
+        split(regexp_replace(lower(trim(col("text"))), " +", " "), " ").as("w"))
+      // sequence(1, n) DESCENDS when n < 1 — guard short docs to an
+      // empty window list explicitly
+      val wins = bound.select(col("doc_id"),
+        when(size(col("w")) >= SubstrWindow,
+          transform(sequence(lit(1), size(col("w")) - SubstrWindow + 1),
+            i => md5(array_join(slice(col("w"), i, lit(SubstrWindow)), " ").cast("binary"))))
+          .otherwise(array().cast("array<string>")).as("wh"))
+      val ex = wins.select(col("doc_id"), explode(col("wh")).as("h"))
+      val dup = ex.groupBy(col("h"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("h"))
+      val cnt = ex.join(dup, Seq("h"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_windows"))
+      wins.select(col("doc_id"), size(col("wh")).cast("long").as("n_windows"))
+        .join(cnt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1544,6 +1616,38 @@ object Queries {
          |FROM aug g LEFT JOIN cand c ON c.doc_id = g.doc_id
          |ORDER BY g.doc_id""".stripMargin,
       extraCte = true, augCte = Queries.aug3Sql),
+
+    "q_cap_per_lang" ->
+      s"""SELECT doc_id, lang, rk FROM (
+         |  SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |  ) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= $CapPerLang ORDER BY doc_id""".stripMargin,
+
+    "dd_substring_spans" -> {
+      val W = SubstrWindow
+      s"""WITH corp AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    array_to_string(wl[1:greatest(len(wl)//2, 1)], ' ')
+         |  FROM (SELECT doc_id, ${Dedup.wordsSql("text")} AS wl FROM documents)),
+         |w AS (SELECT doc_id, ${Dedup.wordsSql("text")} AS wl FROM corp),
+         |wins AS (SELECT doc_id,
+         |    list_transform(range(1, len(wl) - $W + 2),
+         |      i -> md5(array_to_string(wl[CAST(i AS BIGINT):CAST(i + ${W - 1} AS BIGINT)], ' '))) AS wh
+         |  FROM w),
+         |ex AS (SELECT doc_id, unnest(wh) AS h FROM wins),
+         |dup AS (SELECT h FROM (
+         |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY 1)
+         |  WHERE df >= 2),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_dup FROM ex JOIN dup USING (h) GROUP BY 1)
+         |SELECT wins.doc_id, CAST(len(wh) AS BIGINT) AS n_windows,
+         |  CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_windows
+         |FROM wins LEFT JOIN cnt ON cnt.doc_id = wins.doc_id
+         |ORDER BY wins.doc_id""".stripMargin
+    },
 
     "q_gopher_lines" ->
       s"""WITH lined AS (
