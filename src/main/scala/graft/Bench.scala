@@ -175,9 +175,27 @@ object Bench {
       probeRates += r
       r
     }
-    /** One probe, recorded in the trace — the post-pair contamination
-      * check (see `measurePair`). Public face of `probe()`. */
-    def probeOnce(): Double = probe()
+    /** One budget-accounted probe, recorded in the trace — the post-pair
+      * contamination check (see `measurePair`). Returns None once the
+      * gating budget is spent, so post-pair probing stays inside the same
+      * consumed-time bound as pre-pair gating (each probe is a ~12-20 s
+      * child-JVM run; an unbounded probe count would break the bench's
+      * ~10 min envelope). */
+    def probeOnce(): Option[Double] = {
+      if (ref <= 0 || consumedNs >= budgetNs) return None
+      val t0 = System.nanoTime()
+      try Some(probe()) finally consumedNs += System.nanoTime() - t0
+    }
+    /** Rest once, then gate normally — the contamination-retry recovery
+      * path. The unconditional rest guarantees the re-run never starts
+      * on the very pool state the post-pair probe just flagged, even
+      * when the gating budget is spent (await() would then no-op); the
+      * follow-up await() does the probe-until-healthy part while budget
+      * remains. */
+    def restAndAwait(): Unit = {
+      Thread.sleep(restS * 1000L)
+      await()
+    }
     def json: String =
       s"""{"probe_ref":${f"$ref%.1f"},"threshold_frac":$frac,""" +
         s""""rests":$rests,"probe_rates":${probeRates.map(r => f"$r%.1f").mkString("[", ",", "]")}}"""
@@ -237,8 +255,8 @@ object Bench {
       // instrument failure, and both the discarded efficiencies and the
       // probe trace are reported in the JSON.
       val contaminated = gate match {
-        case Some(g) if retriesLeft > 0 && g.ref > 0 =>
-          g.probeOnce() < g.ref * g.frac
+        case Some(g) if retriesLeft > 0 =>
+          g.probeOnce().exists(_ < g.ref * g.frac)
         case _ => false
       }
       if (contaminated) {
@@ -246,7 +264,7 @@ object Bench {
         discarded += (hi / lo) / (nHigh.toDouble / nLow)
         System.err.println(f"[bench] pair $r ran on a drained pool " +
           f"(post-pair probe below gate threshold) — resting and re-running")
-        gate.foreach(_.await())
+        gate.foreach(_.restAndAwait())
         val p2 = onePair(r % 2 == 1)
         lo = p2._1; hi = p2._2
       }
@@ -436,7 +454,14 @@ object Bench {
       s""""scaling":${primary.map(p => scalingJson(p).dropRight(1) + s""","num_docs":$numDocs}""").getOrElse("null")},""" +
       s""""scaling_8_32":${contract.map(scalingJson).getOrElse("null")},""" +
       s""""calibration":${gateOpt.map(_.json).getOrElse("null")},""" +
-      scalingErr.map(e => s""""scaling_error":"${jsonEscape(e.take(200))}",""").getOrElse("") +
+      scalingErr.map { e =>
+        // surrogate-safe truncation: take(200) could cut between a
+        // surrogate pair and the lone high surrogate would make the
+        // contract line invalid JSON — the very failure this split fixes
+        val t = e.take(200)
+        val safe = if (t.nonEmpty && Character.isHighSurrogate(t.last)) t.dropRight(1) else t
+        s""""scaling_error":"${jsonEscape(safe)}","""
+      }.getOrElse("") +
       s""""queries_total_sec":${f"$totalSec%.2f"},""" +
       s""""queries_detail":"previous stdout line + bench_out.json","sf":"$sfDir"}"""
     // side artifact for debugging/redundancy; stdout lines are the contract

@@ -100,8 +100,6 @@ class OperatorSpec extends AnyFunSuite {
     // lines are unique per doc → only injected lines reach the threshold
     val docs = (0 until 35).map(i =>
       (i.toLong, (1 to 10).map(j => s"d${i}w$j").mkString(" "))).toDF("doc_id", "text")
-    val res = graft.Queries.all("dd_lines_boilerplate")
-    // run the same construction directly (the registry query reads parquet)
     val lined = docs.select(col("doc_id"),
       TextOps.linesCol(col("text"), col("doc_id")).as("ll"))
     val boiler = lined.select(col("doc_id"), explode(col("ll")).as("line"))
@@ -111,7 +109,26 @@ class OperatorSpec extends AnyFunSuite {
     // footer hits all 35 docs; header/teaser hit 12/7 docs (< 30);
     // unique content lines never qualify
     assert(boiler == Set(TextOps.FooterLine), s"got $boiler")
-    assert(res != null) // registry wiring exists
+    // and the REGISTERED query end-to-end (real corpus): every doc must
+    // carry at least the footer as boilerplate, the cleaned fingerprint
+    // must differ from a fingerprint that kept all lines, and counts
+    // must be internally consistent
+    val res = graft.Queries.all("dd_lines_boilerplate")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val (n, nb) = (r.getLong(1), r.getLong(2))
+      assert(nb >= 1L && nb <= n, s"doc ${r.getLong(0)}: n_boiler $nb of $n")
+    }
+    val full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        md5(array_join(TextOps.linesCol(col("text"), col("doc_id")), "\n")
+          .cast("binary")).as("all_fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    res.foreach { r =>
+      assert(r.getString(3) != full(r.getLong(0)),
+        s"doc ${r.getLong(0)}: clean_fp should differ once boilerplate is cut")
+    }
   }
 
   test("PII redaction: emails and phone shapes out, counts match, idempotent") {
