@@ -537,7 +537,11 @@ object Queries {
       // window-hash document frequency with map-side combine, the df>=2
       // subset joins back by hash (shuffle join — the dup-hash set is
       // corpus-sized in the worst case, so no broadcast assumption), and
-      // one final per-doc aggregate.
+      // one final per-doc aggregate. The window-hash subtree is consumed
+      // by both the df aggregate and the probe side and so computes
+      // twice — deliberate: materializing it for ReuseExchange would
+      // shuffle EVERY window row un-combined (orders of magnitude more
+      // bytes than re-running codegen'd md5s over the scan).
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val words = split(regexp_replace(lower(trim(col("text"))), " +", " "), " ")
       val halfText = array_join(
