@@ -107,24 +107,18 @@ object Queries {
     * but ran interpreted and was no faster. Bit math is unchanged, so the
     * DuckDB oracle is untouched. */
   private def simhashMd5(d: DataFrame): DataFrame = {
-    val words = array_distinct(
-      split(regexp_replace(lower(trim(col("text"))), " +", " "), " "))
-    val toks = d.select(col("doc_id"), explode(words).as("tok"))
-      .select(col("doc_id"), md5(col("tok").cast("binary")).as("h"))
-    // hex digit b/4 (1-based substr) → value 0-15 → bit (3 - b%4) via an
-    // integer divide by 8/4/2/1; every constant folds at plan time
-    def contrib(b: Int): Column = {
-      val hexval = conv(col("h").substr(lit(b / 4 + 1), lit(1)), 16, 10).cast("int")
-      (hexval / lit(Seq(8, 4, 2, 1)(b % 4))).cast("int") % 2 * 2 - 1
-    }
-    val withC = toks.select(
-      col("doc_id") +: (0 until 64).map(b => contrib(b).as(s"c$b")): _*)
-    val agg = withC.groupBy(col("doc_id"))
-      .agg(sum(col("c0")).as("s0"),
-        (1 until 64).map(b => sum(col(s"c$b")).as(s"s$b")): _*)
-    val bits = concat((0 until 64).map(b =>
-      when(col(s"s$b") >= 0, lit("1")).otherwise(lit("0"))): _*)
-    agg.select(col("doc_id"), bits.as("sim_bits")).orderBy(col("doc_id"))
+    // ONE fused native pass per row (md5_simhash_bits) — value-identical
+    // to the previous explode-distinct-words + 64 contribution columns +
+    // map-side-combined aggregate (Md5ParitySpec pins bit-for-bit
+    // equality; integer ±1 sums are commutative, so token order is
+    // immaterial), but with ZERO Exchange: the per-doc bit vote no longer
+    // needs a shuffle at all — the whole query is scan → map → output
+    // sort (guide §2.4: remove shuffles outright). The isNotNull filter
+    // replicates the explode's null-text row-drop exactly.
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.functions.md5SimhashBits(col("text")).as("sim_bits"))
+      .orderBy(col("doc_id"))
   }
 
   /** Streaming-EXECUTED contract query (round-2 verdict item 3): the
@@ -138,6 +132,30 @@ object Queries {
     * a production job reads Kafka/files with the same dedupStream
     * transformation. */
   private val streamSinkSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Run `body` (a streaming query start→stop) with
+    * `spark.sql.shuffle.partitions` derived from the PER-BATCH input
+    * volume, restoring the session value after (round-5 verdict item 1;
+    * guide §2 scale-adaptive partitioning). Structured Streaming pins one
+    * state-store task per shuffle partition for EVERY micro-batch (AQE
+    * never coalesces stateful exchanges), so a session-wide setting sized
+    * for batch scans pays (partitions × batches) state-store commits
+    * regardless of data volume — pure overhead when a batch carries a few
+    * thousand rows, and exactly how a production stream sizes its state
+    * stores (to state volume, not to the batch engine's scan parallelism).
+    * Derivation: one state task per ~25k rows/batch, floor 4 (the path
+    * keeps real shuffles and parallel state tasks), cap = the cluster's
+    * default parallelism. Results are partitioning-independent by
+    * construction: stateful groups are hash-assigned whole, and each
+    * group's emission logic is deterministic (spec-pinned). */
+  private def withStreamShufflePartitions[T](s: SparkSession, batchRows: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val n = math.max(4, math.min(s.sparkContext.defaultParallelism, batchRows / 25000))
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def streamExactDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -148,13 +166,15 @@ object Queries {
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     // unique sink name: the bench executes each query twice (warm + timed)
     val sink = s"dd_stream_exact_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamOps.dedupStream(in.toDS())
-      .toDF("doc_id", "text")
-      .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try {
-      in.addData(orig.toSeq); q.processAllAvailable()
-      in.addData(dups.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    withStreamShufflePartitions(s, orig.length) {
+      val q = graft.streaming.StreamOps.dedupStream(in.toDS())
+        .toDF("doc_id", "text")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        in.addData(orig.toSeq); q.processAllAvailable()
+        in.addData(dups.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
     s.table(sink)
       .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fp"))
       .orderBy(col("doc_id"))
@@ -179,13 +199,15 @@ object Queries {
     val (orig, dups) = rows.partition(_._1 < 1000000L)
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val sink = s"dd_stream_near_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamOps.nearDupStream(in.toDS())
-      .toDF("doc_id", "base")
-      .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try {
-      in.addData(orig.toSeq); q.processAllAvailable()
-      in.addData(dups.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    withStreamShufflePartitions(s, orig.length) {
+      val q = graft.streaming.StreamOps.nearDupStream(in.toDS())
+        .toDF("doc_id", "base")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        in.addData(orig.toSeq); q.processAllAvailable()
+        in.addData(dups.toSeq); q.processAllAvailable()
+      } finally q.stop()
+    }
     val cands = s.table(sink).groupBy(col("doc_id")).agg(min(col("base")).as("dup_of"))
     augmented(s, dir).select(col("doc_id"))
       .join(cands, Seq("doc_id"), "left")
@@ -216,14 +238,16 @@ object Queries {
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String, java.sql.Timestamp)]
     val sink = s"dd_stream_near_ttl_sink_${streamSinkSeq.incrementAndGet()}"
-    val q = graft.streaming.StreamOps.nearDupStreamTtl(in.toDS(), ttlMs = StreamTtlMs)
-      .toDF("doc_id", "base")
-      .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try {
-      in.addData(epoch(0L, EpochMs(0))); q.processAllAvailable()
-      in.addData(epoch(1000000L, EpochMs(1))); q.processAllAvailable()
-      in.addData(epoch(2000000L, EpochMs(2))); q.processAllAvailable()
-    } finally q.stop()
+    withStreamShufflePartitions(s, rows.length) {
+      val q = graft.streaming.StreamOps.nearDupStreamTtl(in.toDS(), ttlMs = StreamTtlMs)
+        .toDF("doc_id", "base")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        in.addData(epoch(0L, EpochMs(0))); q.processAllAvailable()
+        in.addData(epoch(1000000L, EpochMs(1))); q.processAllAvailable()
+        in.addData(epoch(2000000L, EpochMs(2))); q.processAllAvailable()
+      } finally q.stop()
+    }
     val cands = s.table(sink).groupBy(col("doc_id")).agg(min(col("base")).as("dup_of"))
     aug3(s, dir).select(col("doc_id"))
       .join(cands, Seq("doc_id"), "left")
@@ -464,25 +488,29 @@ object Queries {
       // header/footer/teaser lines qualify by construction); each doc
       // reports its line counts and the fingerprint of its text with
       // boilerplate lines removed, preserving line order.
-      // Scale shape: two shuffles — the line document-frequency
-      // aggregate (map-side partial combine over exploded lines) and the
-      // per-doc positional regroup; the qualifying boilerplate set
-      // BROADCASTs and is probed as a HASH join per line (O(1) per
-      // probe). On a real web corpus that set is NOT tiny — shared
-      // template/nav/footer lines number in the millions — which is why
-      // the probe must be a hash lookup, not a per-row linear array
-      // scan, and why the per-doc reassembly goes through an explicit
-      // (pos, line) regroup instead of carrying a giant array per row.
+      // Scale shape (round-5 verdict item 2): the line DF aggregate and
+      // the qualifying-set probe are keyed on md5(line) — a FIXED-WIDTH
+      // 32-char key — instead of the raw line string, and the former
+      // forced broadcast(boiler) hint is GONE: on a real web corpus the
+      // qualifying set is NOT tiny (shared template/nav/footer lines
+      // number in the millions), and a forced broadcast of millions of
+      // full line strings is a driver/executor memory cliff. AQE now
+      // picks the strategy from the measured size — broadcast when the
+      // set is genuinely small (it is here), shuffled join when it is
+      // not — and every exchanged row carries the fixed-width digest,
+      // never the line text. Output unchanged: the digest is a 1:1 stand-
+      // in for the line in both the DF count and the membership probe.
       val lined = docs(s, dir)
         .select(col("doc_id"), TextOps.linesCol(col("text"), col("doc_id")).as("ll"))
       val ex = lined.select(col("doc_id"),
-        posexplode(col("ll")).as(Seq("pos", "line")))
+          posexplode(col("ll")).as(Seq("pos", "line")))
+        .withColumn("lh", md5(col("line").cast("binary")))
       val boiler = ex
-        .groupBy(col("line"))
+        .groupBy(col("lh"))
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= TextOps.BoilerMinDocs)
-        .select(col("line"), lit(1).as("is_b"))
-      ex.join(broadcast(boiler), Seq("line"), "left")
+        .select(col("lh"), lit(1).as("is_b"))
+      ex.join(boiler, Seq("lh"), "left")
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_lines"),
@@ -548,16 +576,13 @@ object Queries {
         slice(words, lit(1), greatest(floor(size(words) / 2).cast("int"), lit(1))), " ")
       val corpus = d.unionAll(
         d.select(col("doc_id") + lit(1000000L), halfText.as("text")))
-      val bound = corpus.select(col("doc_id"),
-        split(regexp_replace(lower(trim(col("text"))), " +", " "), " ").as("w"))
-      // sequence(1, n) DESCENDS when n < 1 — guard short docs to an
-      // empty window list explicitly
-      val wins = bound.select(col("doc_id"),
-        when(size(col("w")) >= SubstrWindow,
-          transform(sequence(lit(1), size(col("w")) - SubstrWindow + 1),
-            i => md5(array_join(slice(col("w"), i, lit(SubstrWindow)), " ").cast("binary"))))
-          .otherwise(array().cast("array<string>")).as("wh"))
-      val ex = wins.select(col("doc_id"), explode(col("wh")).as("h"))
+      // window hashes via the fused native md5_window_hashes (one codegen
+      // pass per row; empty array for < W words — the descending-sequence
+      // guard is inside the kernel). Value-identical to the previous
+      // transform(sequence(...), i -> md5(array_join(slice(...))))
+      // construction (Md5ParitySpec).
+      val ex = corpus.select(col("doc_id"),
+        explode(graft.functions.functions.md5WindowHashes(col("text"), SubstrWindow)).as("h"))
       val dup = ex.groupBy(col("h"))
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2)
@@ -565,7 +590,17 @@ object Queries {
       val cnt = ex.join(dup, Seq("h"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_dup_windows"))
-      wins.select(col("doc_id"), size(col("wh")).cast("long").as("n_windows"))
+      // n_windows by ARITHMETIC (max(size(words) - W + 1, 0)) instead of
+      // size() over the materialized hash array: the count never needed
+      // the hashes, so the third full evaluation of the window-hash
+      // subtree (the n_windows branch) disappears; the df-aggregate and
+      // probe-side double-compute remains the documented trade (shuffling
+      // un-combined window rows would cost more at scale than re-running
+      // the fused kernel over the scan).
+      val nWords = size(split(regexp_replace(lower(trim(col("text"))), " +", " "), " "))
+      corpus.select(col("doc_id"),
+          when(nWords >= SubstrWindow, (nWords - SubstrWindow + 1).cast("long"))
+            .otherwise(lit(0L)).as("n_windows"))
         .join(cnt, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_windows"),
           coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
@@ -903,7 +938,7 @@ object Queries {
       // candidates; see Dedup.verifyAgainstIndex. PlanSpec asserts the
       // PartitionFilters entry)
       val batchSets = batch.select(col("doc_id").as("id_new"),
-        array_distinct(Dedup.shingles(col("text"))).as("shl_n"))
+        Dedup.shingleSetStrs(col("text")).as("shl_n"))
       val ver = Dedup.verifyAgainstIndex(s, idx, "doc_id", cand, batchSets)
         .filter(Dedup.jaccardAtLeast(col("n_common"), col("n_a"), col("n_b")))
       batch.select(col("doc_id"))

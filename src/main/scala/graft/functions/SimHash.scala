@@ -111,4 +111,28 @@ object functions {
   /** |A∩B| of two sorted long arrays. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     bridge.column(SortedIntersectCount(bridge.expression(a), bridge.expression(b)))
+
+  /** ORACLE-EXACT md5-lane MinHash signatures in one fused pass (null for
+    * < 3 words) — value-identical to the builtin HOF construction it
+    * replaces (Md5ParitySpec). */
+  def md5MinhashLanes(c: Column, numPerms: Int): Column =
+    bridge.column(Md5MinHashLanes(bridge.expression(c), numPerms))
+
+  /** ORACLE-EXACT md5 token-window hashes in one fused pass (empty array
+    * for < w words; null for null input). */
+  def md5WindowHashes(c: Column, windowWords: Int): Column =
+    bridge.column(Md5WindowHashes(bridge.expression(c), windowWords))
+
+  /** ORACLE-EXACT md5 SimHash bit string in one fused pass. */
+  def md5SimhashBits(c: Column): Column =
+    bridge.column(Md5SimHashBits(bridge.expression(c)))
+
+  /** Sorted distinct shingle strings (set-equal to
+    * array_distinct(shingles(text)); empty array for < 3 words). */
+  def shingleStrs(c: Column): Column =
+    bridge.column(ShingleStrs(bridge.expression(c)))
+
+  /** Case-preserving content lines wrapped at `lineWords` words per line. */
+  def wrapLines(c: Column, lineWords: Int): Column =
+    bridge.column(WrapLines(bridge.expression(c), lineWords))
 }

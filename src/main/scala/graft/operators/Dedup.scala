@@ -43,6 +43,15 @@ object Dedup {
     filter(tris, s => s.isNotNull)
   }
 
+  /** Native sorted DISTINCT shingle strings — set-equal to
+    * `array_distinct(shingles(text))` in one fused codegen pass (empty
+    * array for < 3 words, null for null text, exactly like the builtin
+    * chain; Md5ParitySpec pins the set equality). Every consumer is
+    * order-independent (`array_intersect` sizes, explode-then-aggregate),
+    * so the sorted order only makes the representation deterministic. */
+  def shingleSetStrs(text: Column): Column =
+    graft.functions.functions.shingleStrs(text)
+
   /** DuckDB: the words-list expression to bind in a CTE as e.g. `w`. */
   def wordsSql(e: String): String =
     s"string_split(regexp_replace(lower(trim($e)), ' +', ' ', 'g'), ' ')"
@@ -99,23 +108,20 @@ object Dedup {
     * candidates are verified downstream anyway. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 8, keepCols: Seq[String] = Nil): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol)))
-    val nHash = (numPerms + 3) / 4
-    val hstrs = transform(sh, s =>
-      concat((0 until nHash).map(k => md5(concat(lit(s"$k|"), s).cast("binary"))): _*))
-    // Fold lanes elementwise with least(). "g" sorts after every hex digit,
-    // so it is the fold's +infinity; an empty shingle list yields a null
-    // signature, keeping sub-n-word docs out of candidate generation.
-    val init = struct((0 until numPerms).map(i => lit("g").as(s"m$i")): _*)
-    val folded = aggregate(hstrs, init, (acc, h) =>
-      struct((0 until numPerms).map(i =>
-        least(acc(s"m$i"), substring(h, 1 + 8 * i, 8)).as(s"m$i")): _*))
-    val sig = when(size(sh) > 0, folded)
+    // ONE fused native pass per row (md5_minhash_lanes) — value-identical
+    // to the previous transform/aggregate HOF construction (Md5ParitySpec
+    // pins lane-for-lane equality), but inside whole-stage codegen with a
+    // thread-local MessageDigest: the HOF form walked an interpreted
+    // expression tree per shingle (CodegenFallback) and paid
+    // MessageDigest.getInstance per md5 eval, which dominated every
+    // md5-path dedup query (guide §1.2 step 2). Null signature for < 3
+    // words, as before.
     val keep = keepCols.map(col)
-    // two-stage select: CollapseProject keeps the expensive fold
-    // un-duplicated because its alias is referenced numPerms times
-    docs.select(col(idCol) +: keep :+ sig.as("sig"): _*)
-      .select(col(idCol) +: keep ++: (0 until numPerms).map(i => col(s"sig.m$i").as(s"m$i")): _*)
+    // two-stage select: the lanes array is computed once; the second
+    // select just indexes it
+    docs.select(col(idCol) +: keep :+
+        graft.functions.functions.md5MinhashLanes(col(textCol), numPerms).as("sig"): _*)
+      .select(col(idCol) +: keep ++: (0 until numPerms).map(i => col("sig")(i).as(s"m$i")): _*)
   }
 
   /** Exploded LSH band rows (id, band, digest): band b's digest =
@@ -237,8 +243,11 @@ object Dedup {
       path: String, numPerms: Int = 8, rowsPerBand: Int = 2): Unit = {
     bandRows(base, idCol, textCol, numPerms, rowsPerBand)
       .write.mode("overwrite").parquet(s"$path/bands")
-    // written last: sets/_SUCCESS marks the whole index complete
-    base.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"),
+    // written last: sets/_SUCCESS marks the whole index complete.
+    // shingleSetStrs = native sorted distinct shingles — set-equal to the
+    // previous array_distinct(shingles(...)) (every consumer intersects or
+    // explodes, so element order is immaterial; Md5ParitySpec pins it)
+    base.select(col(idCol), shingleSetStrs(col(textCol)).as("shl"),
         setsBucket(col(idCol)).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$path/sets")
   }
@@ -277,7 +286,7 @@ object Dedup {
     // bands-only torn state rather than silently inverting the convention.
     bandRows(batch, idCol, textCol, numPerms, rowsPerBand)
       .write.mode("append").parquet(s"$path/bands")
-    batch.select(col(idCol), array_distinct(shingles(col(textCol))).as("shl"),
+    batch.select(col(idCol), shingleSetStrs(col(textCol)).as("shl"),
         setsBucket(col(idCol)).as("bucket"))
       .write.partitionBy("bucket").mode("append").parquet(s"$path/sets")
   }
@@ -604,9 +613,9 @@ object Dedup {
   def decontaminate(corpus: DataFrame, bench: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val cg = corpus.select(col(idCol),
-      explode(array_distinct(shingles(col(textCol)))).as("g"))
+      explode(shingleSetStrs(col(textCol))).as("g"))
     val bg = bench.select(col(idCol).as("bench_id"),
-      explode(array_distinct(shingles(col(textCol)))).as("g"))
+      explode(shingleSetStrs(col(textCol))).as("g"))
     cg.join(broadcast(bg), "g")
       .groupBy(col(idCol))
       .agg(min(col("bench_id")).as("contaminated_by"),
@@ -643,8 +652,7 @@ object Dedup {
   def ngramJaccardVerified(docs: DataFrame, idCol: String, textCol: String,
       numPerms: Int = 8, rowsPerBand: Int = 2, maxBucket: Int = 0): DataFrame = {
     val cand = minhashCandidates(docs, idCol, textCol, numPerms, rowsPerBand, maxBucket)
-    val sets = docs.select(col(idCol),
-      array_distinct(shingles(col(textCol))).as("shl"))
+    val sets = docs.select(col(idCol), shingleSetStrs(col(textCol)).as("shl"))
     cand
       .join(sets.select(col(idCol).as("id_a"), col("shl").as("shl_a")), "id_a")
       .join(sets.select(col(idCol).as("id_b"), col("shl").as("shl_b")), "id_b")

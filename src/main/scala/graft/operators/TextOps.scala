@@ -107,27 +107,19 @@ object TextOps {
     * Normalization matches the dedup shingle pipeline (lowercase,
     * whitespace-collapsed) so the same word stream feeds both. */
   def repetitionCols(text: Column): Seq[(String, Column)] = {
-    val words = split(regexp_replace(lower(trim(text)), " +", " "), " ")
-    val bigrams = filter(
-      zip_with(words,
-        slice(words, lit(2), greatest(size(words) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y)),
-      s => s.isNotNull)
-    // longest run of equal elements in the SORTED array = count of the
-    // most frequent element; fold state (prev, run, best)
-    def topRun(arr: Column): Column = aggregate(
-      array_sort(arr),
-      struct(lit(" ").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (st, w) => {
-        val run = when(w === st("prev"), st("run") + 1).otherwise(lit(1L))
-        struct(w.as("prev"), run.as("run"), greatest(st("best"), run).as("best"))
-      },
-      st => st("best"))
+    // ONE fused native pass (repetition_counts) — value-identical to the
+    // previous aggregate(array_sort(...)) fold construction (Md5ParitySpec
+    // pins it; "count of most frequent element" is what the sorted-run
+    // fold computed), but inside whole-stage codegen: the HOF fold walked
+    // an interpreted tree and boxed a struct per word/bigram. The four
+    // field extractions share the one kernel call via codegen
+    // subexpression elimination.
+    val rc = graft.functions.TextStats.repetitionCounts(text)
     Seq(
-      "n_words" -> size(words).cast("long"),
-      "sum_word_chars" -> aggregate(words, lit(0L), (acc, w) => acc + length(w)),
-      "top_word_n" -> topRun(words),
-      "top_bigram_n" -> topRun(bigrams))
+      "n_words" -> rc(0),
+      "sum_word_chars" -> rc(1),
+      "top_word_n" -> rc(2),
+      "top_bigram_n" -> rc(3))
   }
 
   /** The same counts as DuckDB SQL over a `$e` text expression — the
@@ -169,10 +161,15 @@ object TextOps {
     * ++ [teaser if doc_id%5=0]. Pure per-row map — no explode, no
     * shuffle; at 10^12 docs this stage rides the scan. */
   def linesCol(text: Column, docId: Column): Column = {
-    val words = split(regexp_replace(trim(text), " +", " "), " ")
-    val content = transform(
-      sequence(lit(0), floor((size(words) - lit(1)) / lit(LineWords)).cast("int")),
-      i => array_join(slice(words, i * lit(LineWords) + lit(1), lit(LineWords)), " "))
+    // content wrap via the fused native wrap_lines (one codegen pass; the
+    // previous transform(sequence(...)) HOF walked an interpreted tree per
+    // line). coalesce = the round-5-advice null guard: sequence(0, -1)
+    // DESCENDS for null text and produced bogus negative-start slices; a
+    // null text now wraps to zero content lines. Non-null behavior is
+    // value-identical (Md5ParitySpec), including the single empty line for
+    // empty text.
+    val content = coalesce(graft.functions.functions.wrapLines(text, LineWords),
+      array().cast("array<string>"))
     val empty = array().cast("array<string>")
     concat(
       when(docId % 3 === 0, array(lit(HeaderLine))).otherwise(empty),
