@@ -36,14 +36,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(embedding, q) as a codegen'd double fold. */
-  def dotCol(emb: Column, q: Seq[Float]): Column = {
-    val qArr = array(q.map(v => lit(v.toDouble)): _*)
-    aggregate(
-      zip_with(emb, qArr, (a, b) => a.cast("double") * b),
-      lit(0.0),
-      (acc, x) => acc + x)
-  }
+  /** dot(embedding, q) via the native primitive-loop DotF — bit-identical
+    * to the previous aggregate(zip_with(...)) fold (same float→double
+    * casts, same ascending-element accumulation order; VecParitySpec), but
+    * no interpreted HOF plumbing or boxed intermediate array per row. */
+  def dotCol(emb: Column, q: Seq[Float]): Column =
+    graft.functions.functions.dotf(emb, array(q.map(lit): _*))
 
   /** Exact top-k by dot product (embeddings are ~unit-norm → cosine).
     * Deterministic tie-break by id. */
@@ -63,14 +61,13 @@ object Similarity {
   def planeSign(plane: Int, dim: Int): Double =
     if ((graft.core.Hash64(s"srp|$plane|$dim") & 1L) == 0L) -1.0 else 1.0
 
-  /** Sign-random-projection bucket id (p bits) for an embedding column. */
+  /** Sign-random-projection bucket id (p bits) for an embedding column —
+    * sign tests over the native one-pass plane_dots (bit-exact dots; see
+    * planeDots). */
   def srpBucket(emb: Column, p: Int, dims: Int): Column = {
+    val dots = graft.functions.VecOps.planeDots(emb, p, dims)
     val bits = (0 until p).map { plane =>
-      val planeVec = array((0 until dims).map(d => lit(planeSign(plane, d))): _*)
-      val dot = aggregate(
-        zip_with(emb, planeVec, (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1 << plane)).otherwise(lit(0))
+      when(dots(plane) >= 0, lit(1 << plane)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }
@@ -116,16 +113,15 @@ object Similarity {
     * is fixed, so parity is a property of the corpus, not of the run).
     * Zero vectors quantize to all-zero codes (guarded division). */
   def quantizeInt8Audit(embeddings: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val v = col(embCol)
-    val scale = array_max(transform(v, x => abs(x.cast("double"))))
-    val codes = when(scale === 0d,
-        transform(v, _ => lit(0))).otherwise(
-        transform(v, x => round(x.cast("double") / scale * 127d).cast("int")))
+    // ONE fused native pass (int8_audit) — value-identical to the previous
+    // transform/aggregate/filter HOF chain including its null/empty edge
+    // semantics and Spark's HALF_UP double rounding (VecParitySpec pins
+    // it); the audit columns and the DuckDB oracle are unchanged.
+    val audit = graft.functions.VecOps.int8Audit(col(embCol))
     embeddings
-      .select(col(idCol), scale.as("scale"), codes.as("codes"))
-      .select(col(idCol), col("scale"),
-        aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("sum_code"),
-        size(filter(col("codes"), c => abs(c) === 127)).cast("long").as("n_saturated"))
+      .select(col(idCol), audit.as("a"))
+      .select(col(idCol), col("a.scale").as("scale"),
+        col("a.sum_code").as("sum_code"), col("a.n_saturated").as("n_saturated"))
   }
 
   /** DuckDB oracle for `quantizeInt8Audit` over the embeddings view —
@@ -274,31 +270,23 @@ object Similarity {
     * of duplicating whole folds (the round-1 form re-inlined each fold into
     * `least` + every WHEN → a giant codegen unit that cost ~7 s of Janino
     * compile per session on k=8, dims=64). */
-  private def clusterDistances(emb: Column, centroids: Array[Array[Double]]): Column = {
-    val k = centroids.length
-    val dims = centroids.head.length
-    val centStructs = array((0 until dims).map { d =>
-      struct((0 until k).map(c => lit(centroids(c)(d)).as(s"d$c")): _*)
-    }: _*)
-    val diffs = zip_with(emb, centStructs, (x, cs) =>
-      struct((0 until k).map { c =>
-        val t = x.cast("double") - cs(s"d$c")
-        (t * t).as(s"d$c")
-      }: _*))
-    val init = struct((0 until k).map(c => lit(0.0).as(s"d$c")): _*)
-    aggregate(diffs, init, (acc, x) =>
-      struct((0 until k).map(c => (acc(s"d$c") + x(s"d$c")).as(s"d$c")): _*))
-  }
+  private def clusterDistances(emb: Column, centroids: Array[Array[Double]]): Column =
+    // native one-pass kernel (cluster_dists): same t = x − c, acc += t·t
+    // accumulation in ascending dim order per cluster as the previous
+    // zip_with/aggregate struct fold (bit-exact; VecParitySpec), without
+    // the interpreted per-element struct boxing or the giant literal
+    // struct array in the plan
+    graft.functions.VecOps.clusterDists(emb, centroids)
 
   /** Add the cluster-assignment column `out`: distances staged ONCE in a
     * select (CollapseProject keeps an expensive alias referenced k× times
-    * staged), argmin over the cheap struct-field refs. Same float math and
-    * first-min tie-break as the round-1 expression; ~7 s less compile. */
+    * staged), argmin over the cheap array-element refs. Same float math
+    * and first-min tie-break as before. */
   def withCluster(df: DataFrame, embCol: String,
       centroids: Array[Array[Double]], out: String = "c"): DataFrame = {
     val k = centroids.length
     val staged = df.withColumn("_dsts", clusterDistances(col(embCol), centroids))
-    val ds = (0 until k).map(c => col(s"_dsts.d$c"))
+    val ds = (0 until k).map(c => col("_dsts")(c))
     val minD = least(ds: _*)
     val argmin = ds.zipWithIndex.reverse.foldLeft(lit(0)) { case (acc, (d, i)) =>
       when(d === minD, lit(i)).otherwise(acc)
@@ -372,16 +360,12 @@ object Similarity {
     * cost minutes of Janino compile at p=48 and re-scan the array p times.
     * Per-plane accumulation order is dim order, identical to independent
     * folds (bit-exact). */
-  private def planeDots(emb: Column, p: Int, dims: Int): Column = {
-    val planeStructs = array((0 until dims).map { d =>
-      struct((0 until p).map(pl => lit(planeSign(pl, d)).as(s"p$pl")): _*)
-    }: _*)
-    val terms = zip_with(emb, planeStructs, (x, ps) =>
-      struct((0 until p).map(pl => (x.cast("double") * ps(s"p$pl")).as(s"p$pl")): _*))
-    val init = struct((0 until p).map(pl => lit(0.0).as(s"p$pl")): _*)
-    aggregate(terms, init, (acc, t) =>
-      struct((0 until p).map(pl => (acc(s"p$pl") + t(s"p$pl")).as(s"p$pl")): _*))
-  }
+  private def planeDots(emb: Column, p: Int, dims: Int): Column =
+    // native one-pass kernel (plane_dots): same per-plane ascending-dim
+    // double accumulation as the previous zip_with/aggregate struct fold
+    // (bit-exact; VecParitySpec), with the plane-sign matrix computed once
+    // per (p, dims) instead of a literal struct array in every plan
+    graft.functions.VecOps.planeDots(emb, p, dims)
 
   /** (id, band, key) rows for candidate generation: band b's key = the
     * `bitsPerBand` hyperplane sign bits of planes [b*bits, (b+1)*bits).
@@ -397,7 +381,7 @@ object Similarity {
     val bandStructs = (0 until bands).map { b =>
       val bits = (0 until bitsPerBand).map { k =>
         val plane = b * bitsPerBand + k
-        when(col(s"_dots.p$plane") >= 0, lit(1 << k)).otherwise(lit(0))
+        when(col("_dots")(plane) >= 0, lit(1 << k)).otherwise(lit(0))
       }
       struct(lit(b).as("band"), bits.reduce(_ + _).as("key"))
     }
