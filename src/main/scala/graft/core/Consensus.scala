@@ -21,6 +21,25 @@ object Consensus {
   def merge(texts: Seq[String]): String = {
     require(texts.nonEmpty, "consensus over zero passes")
     if (texts.length == 1) return texts.head                       // main.py:189-190
+    if (texts.length == 2) {
+      // TWO-PASS fast path (exact): at every position covered by both
+      // texts the vote is either 2-0 (equal chars) or a 1-1 tie — and the
+      // first-seen tie-break picks pass 0's char in both cases; positions
+      // beyond the shorter text take the longer text's char. So the
+      // consensus is pass 0 extended with pass 1's tail. This is the
+      // dominant case (level=medium → 2 passes); PropertySpec pins
+      // fast == general vote loop.
+      val a = texts.head
+      val b = texts(1)
+      return if (b.length <= a.length) a else a + b.substring(a.length)
+    }
+    mergeVote(texts)
+  }
+
+  /** The general per-position vote loop — the reference semantics for any
+    * pass count (kept as the differential-property reference for the
+    * two-pass fast path above). */
+  private[core] def mergeVote(texts: Seq[String]): String = {
     val maxLen = texts.iterator.map(_.length).max                  // main.py:193
     val sb = new java.lang.StringBuilder(maxLen)
     // scratch hoisted out of the position loop (perf: no per-position alloc)

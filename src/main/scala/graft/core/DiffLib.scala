@@ -158,5 +158,14 @@ object DiffLib {
     }
   }
 
-  def ratio(a: String, b: String): Double = new SequenceMatcher(a, b).ratio()
+  /** EQUAL-INPUT fast path (exact): for a == b the DP+extension always
+    * recovers the full string as one block — even when autojunk empties
+    * b2j entirely, the forward non-junk extension starts at (alo, blo) and
+    * absorbs every position — so M = len and ratio = 2·len/2·len = 1.0
+    * exactly (and difflib returns 1.0 for two empty strings). The
+    * multi-pass OCR pipeline compares byte-identical passes for every
+    * non-noisy page, so this skips the whole matcher on the common case;
+    * PropertySpec pins fast == slow on equal inputs. */
+  def ratio(a: String, b: String): Double =
+    if (a == b) 1.0 else new SequenceMatcher(a, b).ratio()
 }

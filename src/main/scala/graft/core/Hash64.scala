@@ -38,4 +38,40 @@ object Hash64 {
     val h = apply(s)
     (((h % n) + n) % n).toInt
   }
+
+  // --- incremental form (round-6 perf): fold a shared key PREFIX once and
+  // extend per suffix — bit-identical to apply(prefix + suffix) for ASCII
+  // keys because FNV-1a is a sequential byte fold with the finalizer
+  // applied only at the end (PropertySpec-style pin in KernelSpec).
+
+  /** FNV-1a state after folding the UTF-8 bytes of `s` (NO finalizer). */
+  def prefixState(s: String): Long = {
+    var h = FnvOffset
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  /** Extend a prefix state with the decimal digits of `i` (>= 0), finalize,
+    * and pick in [0, n) — equals `pick(prefix + i.toString, n)`. */
+  def pickFrom(state: Long, i: Int, n: Int): Int = {
+    var h = state
+    // fold the decimal digits of i most-significant first, as toString would
+    var div = 1
+    while (i / div >= 10) div *= 10
+    var rest = i
+    while (div > 0) {
+      val d = rest / div
+      h ^= ('0' + d).toLong
+      h *= FnvPrime
+      rest -= d * div
+      div /= 10
+    }
+    (((fmix64(h) % n) + n) % n).toInt
+  }
 }

@@ -45,14 +45,86 @@ object LangDetect {
     "italian" -> Vector("contratto", "affitto", "locatore", "locatario",
       "data", "mese", "anno", "il", "la", "di", "che", "e", "con", "per"))
 
+  // --- single-scan matcher tables (round-6 perf; semantics unchanged and
+  // pinned by PropertySpec's detect == detectReference differential): the
+  // reference runs 84 independent `word in sample` containment tests per
+  // call; one left-to-right scan with a first-char dispatch finds the same
+  // "is keyword contained" facts in one pass. Keyword lists are
+  // duplicate-free per language (required — each containment adds exactly
+  // 1), so unique-string hits add 1 to every owning language.
+  private val scoredLangs =
+    Vector("spanish", "french", "english", "german", "portuguese", "italian")
+  private val uniqueKws: Array[String] = {
+    scoredLangs.foreach(l => require(keywords(l).distinct.length == keywords(l).length,
+      s"duplicate keyword in $l would break the single-scan counter"))
+    scoredLangs.flatMap(keywords).distinct.toArray
+  }
+  private val kwLangIdx: Array[Array[Int]] = uniqueKws.map { kw =>
+    scoredLangs.indices.filter(li => keywords(scoredLangs(li)).contains(kw)).toArray
+  }
+  private val byFirstChar: Array[Array[Int]] = {
+    val out = new Array[Array[Int]](128)
+    uniqueKws.zipWithIndex.groupBy(_._1.charAt(0)).foreach { case (c, kws) =>
+      require(c < 128, s"keyword first char $c outside the ASCII dispatch table")
+      out(c) = kws.map(_._2)
+    }
+    out
+  }
+
   def detect(text: String): String = {
     val t = if (text == null) "" else text
     val sample = (if (t.length > 1000) t.substring(0, 1000) else t)
       .toLowerCase(java.util.Locale.ROOT)                          // main.py:90
 
+    val scores = new Array[Int](langs.length)
+    val found = new Array[Boolean](uniqueKws.length)
+    var remaining = uniqueKws.length
+    val n = sample.length
+    var i = 0
+    while (i < n && remaining > 0) {                               // main.py:106-139
+      val c = sample.charAt(i)
+      if (c < 128) {
+        val cands = byFirstChar(c)
+        if (cands != null) {
+          var k = 0
+          while (k < cands.length) {
+            val kid = cands(k)
+            if (!found(kid) && sample.startsWith(uniqueKws(kid), i)) {
+              found(kid) = true
+              remaining -= 1
+              val ls = kwLangIdx(kid)
+              var q = 0
+              while (q < ls.length) { scores(ls(q)) += 1; q += 1 }
+            }
+            k += 1
+          }
+        }
+      }
+      i += 1
+    }
+
+    if (sample.exists(c => c >= '一' && c <= '鿿')) scores(6) = 10  // main.py:141-143
+    if (sample.exists(c => c >= '؀' && c <= 'ۿ')) scores(7) = 10   // main.py:145-147
+    if (sample.exists(c => c >= 'Ѐ' && c <= 'ӿ')) scores(8) = 10   // main.py:149-151
+
+    var best = 0                                                   // first max in insertion order,
+    var li = 1                                                     // matching Python max() (main.py:154-158)
+    while (li < scores.length) {
+      if (scores(li) > scores(best)) best = li
+      li += 1
+    }
+    if (scores(best) == 0) "spanish" else langs(best)
+  }
+
+  /** The literal reference port (84 independent containment tests) — kept
+    * as the differential-property reference for the single-scan `detect`. */
+  private[core] def detectReference(text: String): String = {
+    val t = if (text == null) "" else text
+    val sample = (if (t.length > 1000) t.substring(0, 1000) else t)
+      .toLowerCase(java.util.Locale.ROOT)                          // main.py:90
+
     val scores = scala.collection.mutable.LinkedHashMap(langs.map(_ -> 0): _*)
-    for (lang <- Vector("spanish", "french", "english", "german", "portuguese", "italian");
-         word <- keywords(lang))
+    for (lang <- scoredLangs; word <- keywords(lang))
       if (sample.contains(word)) scores(lang) += 1                 // main.py:106-139
 
     if (sample.exists(c => c >= '一' && c <= '鿿')) scores("chinese") = 10 // main.py:141-143

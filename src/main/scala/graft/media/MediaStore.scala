@@ -52,7 +52,7 @@ trait MediaStore extends Serializable {
   */
 object DeterministicMediaStore extends MediaStore {
 
-  private val words = Vector(
+  private val words = Array(
     "contract", "lease", "tenant", "landlord", "invoice", "total", "amount",
     "payment", "schedule", "annex", "clause", "party", "signature", "witness",
     "property", "address", "monthly", "deposit", "terms", "notice", "renewal",
@@ -85,13 +85,18 @@ object DeterministicMediaStore extends MediaStore {
   override def byteEstimate(mediaRef: String): Long =
     pageCount(mediaRef).toLong * 4096L + (Hash64(mediaRef) & 0xFFFL)
 
-  /** Deterministic word salad for a page, ~`n` words, seeded by ref+page. */
+  /** Deterministic word salad for a page, ~`n` words, seeded by ref+page.
+    * Word picks = `Hash64.pick(s"$mediaRef#$pageNo#w$i", ...)` computed
+    * incrementally: the shared ASCII key prefix is FNV-folded once and
+    * each word extends it with the digits of `i` (bit-identical hashes —
+    * KernelSpec pins pickFrom == pick; the golden fixtures pin the texts). */
   private def glyphText(mediaRef: String, pageNo: Int, n: Int): String = {
+    val prefix = Hash64.prefixState(s"$mediaRef#$pageNo#w")
     val sb = new StringBuilder
     var i = 0
     while (i < n) {
       if (i > 0) sb.append(' ')
-      sb.append(words(Hash64.pick(s"$mediaRef#$pageNo#w$i", words.length)))
+      sb.append(words(Hash64.pickFrom(prefix, i, words.length)))
       i += 1
     }
     sb.append(" p").append(pageNo).append(" of ").append(mediaRef.drop(6))

@@ -70,4 +70,34 @@ object KernelProps extends Properties("kernel") {
     forAll(nastyString) { s =>
       LangDetect.langs.contains(LangDetect.detect(s))
     }
+
+  // --- round-6 kernel fast paths: each must equal its reference form ---
+
+  private val keywordish: Gen[String] = Gen.listOf(Gen.frequency(
+    (6, Gen.alphaNumChar.map(_.toLower)),
+    (2, Gen.const(' ')),
+    (1, Gen.oneOf("contrato", "lease", "la", "de", "mietvertrag", "année",
+      "mês", "el", "the", "und").flatMap(w => Gen.const(w))))).map(_.mkString(" "))
+
+  property("single-scan lang detect == literal reference port") =
+    forAll(Gen.oneOf(nastyString, keywordish)) { s =>
+      LangDetect.detect(s) == LangDetect.detectReference(s)
+    }
+
+  property("two-pass consensus fast path == general vote loop") =
+    forAll(asciiText, asciiText) { (a, b) =>
+      Consensus.merge(Seq(a, b)) == Consensus.mergeVote(Seq(a, b))
+    }
+
+  property("equal-input ratio fast path == full matcher (exactly 1.0)") =
+    forAll(nastyString) { a =>
+      val slow = new DiffLib.SequenceMatcher(a, new String(a)).ratio()
+      slow == 1.0 && DiffLib.ratio(a, new String(a)) == slow
+    }
+
+  property("incremental Hash64.pickFrom == pick on fixture-shaped keys") =
+    forAll(Gen.alphaNumStr, Gen.choose(0, 100000), Gen.choose(1, 64)) { (p, i, n) =>
+      Hash64.pickFrom(Hash64.prefixState(p + "#w"), i, n) ==
+        Hash64.pick(p + "#w" + i, n)
+    }
 }
