@@ -116,10 +116,19 @@ object StreamOps {
     * late-events watermark BEFORE the user function runs, so a row
     * arriving more than `allowedLateness` behind the stream's max event
     * time — across micro-batches — is silently discarded, exactly like
-    * any watermarked stateful operator. Batching-independence therefore
-    * holds for streams whose cross-batch event-time disorder stays
-    * within `allowedLateness`; the default "0 seconds" assumes an
-    * event-time-ordered append log (ids assigned in arrival order).
+    * any watermarked stateful operator.
+    *
+    * BATCHING-INDEPENDENCE, precisely (round-5 advice): it holds for
+    * streams whose CROSS-BATCH arrival is event-time-ordered (rows are
+    * only sorted within a batch). With `allowedLateness` > 0, an
+    * out-of-order row admitted by the lateness bound can still change
+    * which doc becomes the state's keeper depending on where the batch
+    * boundary falls — e.g. keeper A(ts=100) in batch 1 then B(ts=50) in
+    * batch 2 emits A, while one batch sorted by (ts, id) emits B. So
+    * lateness > 0 prevents silent DROPS inside the disorder bound, but
+    * keeper CHOICE for out-of-order rows is batch-dependent; the default
+    * "0 seconds" assumes an event-time-ordered append log (ids assigned
+    * in arrival order), where output is fully batching-independent.
     * Size the lateness to the source's real disorder — a dropped
     * genuinely-new doc is silent data loss for a dedup operator.
     *
@@ -141,11 +150,12 @@ object StreamOps {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // rows processed in (event-time, id) order with the expiry
-            // decided against EACH row's event time — identical event
-            // streams within the allowed-lateness disorder bound produce
-            // identical output however the stream is micro-batched (the
-            // watermark timeout below is then pure state cleanup, not
-            // the expiry decision)
+            // decided against EACH row's event time — for cross-batch
+            // event-time-ordered arrival the output is identical however
+            // the stream is micro-batched (the watermark timeout below
+            // is then pure state cleanup, not the expiry decision); see
+            // the scaladoc's batching-independence note for the
+            // out-of-order-within-lateness caveat
             val rows = it.toArray.sortBy(r => (r._4.getTime, r._1))
             var st = state.getOption
             val out = Vector.newBuilder[(Long, String)]
@@ -229,8 +239,11 @@ object StreamOps {
     * reported as new (the bounded-window recall trade, stated not
     * hidden). Late-data boundary identical to `dedupStreamTtl`: rows
     * more than `allowedLateness` behind the stream's max event time are
-    * dropped BEFORE the stateful function runs — batching-independence
-    * holds within that disorder bound. */
+    * dropped BEFORE the stateful function runs — and as there,
+    * batching-independence holds only for cross-batch event-time-ordered
+    * arrival: with lateness > 0 an admitted out-of-order row's keeper
+    * assignment depends on the batch boundary (see `dedupStreamTtl`'s
+    * boundary note). */
   def nearDupStreamTtl(docs: Dataset[(Long, String, java.sql.Timestamp)],
       ttlMs: Long, numPerms: Int = 8, rowsPerBand: Int = 2,
       allowedLateness: String = "0 seconds"): Dataset[(Long, Long)] = {
