@@ -103,9 +103,20 @@ object LangDetect {
       i += 1
     }
 
-    if (sample.exists(c => c >= '一' && c <= '鿿')) scores(6) = 10  // main.py:141-143
-    if (sample.exists(c => c >= '؀' && c <= 'ۿ')) scores(7) = 10   // main.py:145-147
-    if (sample.exists(c => c >= 'Ѐ' && c <= 'ӿ')) scores(8) = 10   // main.py:149-151
+    // the three script-range tests in ONE pass (each `exists` alone would
+    // re-scan the whole sample on ASCII text); same sets, same outcomes
+    var cjk = false; var arabic = false; var cyrillic = false
+    i = 0
+    while (i < n && !(cjk && arabic && cyrillic)) {
+      val c = sample.charAt(i)
+      if (c >= '一' && c <= '鿿') cjk = true                        // main.py:141-143
+      else if (c >= '؀' && c <= 'ۿ') arabic = true                 // main.py:145-147
+      else if (c >= 'Ѐ' && c <= 'ӿ') cyrillic = true               // main.py:149-151
+      i += 1
+    }
+    if (cjk) scores(6) = 10
+    if (arabic) scores(7) = 10
+    if (cyrillic) scores(8) = 10
 
     var best = 0                                                   // first max in insertion order,
     var li = 1                                                     // matching Python max() (main.py:154-158)
