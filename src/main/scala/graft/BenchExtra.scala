@@ -39,7 +39,11 @@ object BenchExtra {
         spark.read.parquet(s"$sfDir/nation.parquet")
           .write.format("noop").mode("overwrite").save()
         Queries.prepareIndexes(spark, sfDir)
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // best-effort warmup, but never silently: a failed index build
+        // makes every *_indexed query fail confusingly downstream
+        System.err.println(s"[benchextra] warmup/prepareIndexes failed: $e")
+      }
       val timings = names.map { name =>
         val fn = Queries.all(name)
         spark.sparkContext.setJobDescription(s"benchextra: $name")

@@ -60,6 +60,9 @@ object Hash64 {
   /** Extend a prefix state with the decimal digits of `i` (>= 0), finalize,
     * and pick in [0, n) — equals `pick(prefix + i.toString, n)`. */
   def pickFrom(state: Long, i: Int, n: Int): Int = {
+    // checked, not just documented: a negative i would fold garbage chars
+    // (no '-' sign) and silently diverge from pick(prefix + i.toString, n)
+    require(i >= 0, s"pickFrom requires i >= 0, got $i")
     var h = state
     // fold the decimal digits of i most-significant first, as toString would
     var div = 1

@@ -68,13 +68,18 @@ object Md5TextKernel {
     hex(md.digest())
   }
 
+  // hoisted: String.split(" +") would Pattern.compile per call (the
+  // 2-char pattern misses the single-char fast path) — on the hot path of
+  // every fused kernel (round-6 review finding)
+  private val SpaceRun = java.util.regex.Pattern.compile(" +")
+
   /** `split(regexp_replace(lower(trim(s)), " +", " "), " ")` — the dedup
     * pipeline's normalized word list. Returns [""] for empty/all-space
     * input, exactly like the builtin chain. */
   private[functions] def normWords(s: UTF8String): Array[String] = {
     val t = s.trim().toLowerCase().toString
     if (t.isEmpty) return Array("")
-    t.split(" +")
+    SpaceRun.split(t)
   }
 
   /** `split(regexp_replace(trim(s), " +", " "), " ")` — same word list
@@ -82,7 +87,7 @@ object Md5TextKernel {
   private[functions] def rawWords(s: UTF8String): Array[String] = {
     val t = s.trim().toString
     if (t.isEmpty) return Array("")
-    t.split(" +")
+    SpaceRun.split(t)
   }
 
   private def utf8Bytes(words: Array[String]): Array[Array[Byte]] = {
@@ -95,6 +100,15 @@ object Md5TextKernel {
     out
   }
 
+  // "k|" prefix byte arrays per hash count — plan-time constants, cached
+  // so minhashLanes doesn't re-interpolate/encode them per row (round-6
+  // review finding)
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def hashPrefixes(nHash: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(nHash, n => Array.tabulate(n)(k =>
+      s"$k|".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
   /** All `numPerms` md5-lane MinHash signature values of the text's 3-word
     * shingles in one pass — value-identical to `Dedup.minhashSignature`'s
     * builtin construction: shingle k-th hash = md5("k|" ++ shingle), lane i
@@ -106,8 +120,7 @@ object Md5TextKernel {
     val wb = utf8Bytes(words)
     val md = digests.get()
     val nHash = (numPerms + 3) / 4
-    val prefixes = Array.tabulate(nHash)(k =>
-      s"$k|".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val prefixes = hashPrefixes(nHash)
     val mins = new Array[String](numPerms)
     var w = 0
     while (w + 2 < words.length) {
@@ -193,9 +206,9 @@ object Md5TextKernel {
     * exact-Jaccard verification and decontamination. Value-equal AS A SET
     * to `array_distinct(shingles(text))` (every consumer is
     * order-independent: `array_intersect` sizes, explode-then-aggregate);
-    * sorted so the representation is deterministic. Null for < 3 words
-    * (empty shingle list → the builtin form yields an empty array; see
-    * ShingleStrs.eval for the empty-array mapping). */
+    * sorted so the representation is deterministic. EMPTY array for < 3
+    * words (exactly like the builtin chain's filtered empty shingle
+    * list); null only for null input. */
   def shingleStrs(s: UTF8String): ArrayData = {
     val words = normWords(s)
     if (words.length < 3) return new GenericArrayData(Array.empty[Any])
