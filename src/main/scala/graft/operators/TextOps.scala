@@ -77,13 +77,19 @@ object TextOps {
   }
 
   /** Quality signals as exact integer counts (no float parity risk):
-    * words, punctuation chars, stopwords, chars. */
-  def qualityCols(text: Column): Seq[(String, Column)] = Seq(
-    "n_words" -> size(split(trim(text), " +")),
-    "n_punct" -> length(regexp_replace(text, "[^.,;:!?]", "")),
-    "n_stop" -> size(filter(split(lower(text), " "),
-      w => w.isin(Stopwords: _*))),
-    "n_chars" -> length(text))
+    * words, punctuation chars, stopwords, chars. ONE fused native pass
+    * (quality_counts) — value-identical to the previous builtin chain
+    * (regex replace + interpreted filter/isin HOF per word; Md5ParitySpec
+    * pins it). Counts come back as longs, so callers' .cast("long") is a
+    * no-op. */
+  def qualityCols(text: Column): Seq[(String, Column)] = {
+    val qc = graft.functions.TextStats.qualityCounts(text)
+    Seq(
+      "n_words" -> qc(0),
+      "n_punct" -> qc(1),
+      "n_stop" -> qc(2),
+      "n_chars" -> qc(3))
+  }
 
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in",
     "is", "on", "for", "with", "at", "by", "from")
@@ -209,10 +215,13 @@ object TextOps {
       l => l.startsWith("- ") || l.startsWith("* "))).cast("long"),
     "n_ellipsis_lines" -> size(filter(lines, l => l.endsWith("..."))).cast("long"))
 
-  /** BPE-ish token count: letter runs, digit runs, single other glyphs. */
+  /** BPE-ish token count: letter runs, digit runs, single other glyphs.
+    * Native one-scan form of size(regexp_extract_all(text, TokenPattern))
+    * — value-identical (Md5ParitySpec), returned as long (callers'
+    * .cast("long") stays a no-op). */
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
   def tokenCountCol(text: Column): Column =
-    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+    graft.functions.TextStats.tokenCount(text)
   def tokenCountSql(e: String): String =
     s"len(regexp_extract_all($e, '${TokenPattern.replace("\\", "\\\\")}'))"
 

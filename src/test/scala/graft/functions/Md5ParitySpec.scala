@@ -145,6 +145,22 @@ class Md5ParitySpec extends AnyFunSuite {
     check("repetition", TextStats.repetitionCounts(col("t")), builtin)
   }
 
+  test("quality_counts == builtin split/regex/filter chain") {
+    val builtin = array(
+      size(split(trim(col("t")), " +")).cast("long"),
+      length(regexp_replace(col("t"), "[^.,;:!?]", "")).cast("long"),
+      size(filter(split(lower(col("t")), " "),
+        w => w.isin(graft.operators.TextOps.Stopwords: _*))).cast("long"),
+      length(col("t")).cast("long"))
+    check("quality", TextStats.qualityCounts(col("t")), builtin)
+  }
+
+  test("token_count == size(regexp_extract_all(TokenPattern))") {
+    val builtin = size(regexp_extract_all(col("t"),
+      lit(graft.operators.TextOps.TokenPattern), lit(0))).cast("long")
+    check("tokens", TextStats.tokenCount(col("t")), builtin)
+  }
+
   test("null input: lanes/simhash/shingles are null; windows/lines coalesce paths") {
     import spark.implicits._
     val d = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
